@@ -1,0 +1,144 @@
+"""LAST JOIN — OpenMLDB's point-in-time as-of join.
+
+Semantics (reference: JoinPlan.scala:151-196; docs JOIN_CLAUSE.md):
+for each left row, among right rows matching the equi keys and optional
+residual condition, keep the single row with the extreme ``order_by`` value
+(max when ascending, min when descending); unordered LAST JOIN keeps one
+deterministic match. Left rows with no match survive with nulls (left
+outer cardinality is always preserved).
+
+Two physical strategies:
+
+- ``last_join`` — join + ranked-dedup. The left gets a unique row id
+  (monotonically_increasing_id — same role as the reference's
+  zipWithUniqueId, SparkUtil.scala:57-90), joins left-outer, and a
+  row_number window over the row id keeps the extreme match. Catalyst
+  freely picks broadcast-hash when the right side is small; at 100 TB the
+  join shuffles on the equi keys once and the dedup window re-uses that
+  partitioning (row id is a salt-free key: no skew because it's unique).
+- ``asof_join_kernel`` — range-co-partitioned sort-merge as-of for the
+  time-travel case (condition ``right.ts <= left.ts``): cogroup both sides
+  on the keys and run ``pandas.merge_asof`` per group. This is the
+  shuffle-minimal plan when both sides are huge: one exchange per side,
+  no row explosion for hot keys (the joined+dedup plan materializes every
+  candidate match; the merge pass is O(n+m) per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+from openmldb_spark.plans.specs import LastJoinSpec
+
+_RID = "__l_rid"
+
+
+def last_join(
+    left: DataFrame,
+    right: DataFrame,
+    spec: LastJoinSpec,
+    right_cols: list[str] | None = None,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """LEFT-cardinality as-of join; right columns appended (prefixed names
+    must be pre-aliased by the caller if they collide)."""
+    left_on = list(spec.left_on)
+    right_on = list(spec.right_on or spec.left_on)
+    right_cols = right_cols or [c for c in right.columns if c not in right_on]
+
+    l = left.withColumn(_RID, F.monotonically_increasing_id())
+    r = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in right_on],
+        *[F.col(c) for c in right_cols],
+        *([F.col(spec.order_by).alias("__r_ord")] if spec.order_by else []),
+        *[F.col(c).alias(f"__rt_{c}") for c in spec.tiebreak],
+    )
+    if broadcast:
+        r = F.broadcast(r)
+
+    cond: Column | None = None
+    for lc, rc in zip(left_on, right_on):
+        c = l[lc] == r[f"__r_{rc}"]
+        cond = c if cond is None else (cond & c)
+    if spec.condition:
+        cond = cond & F.expr(spec.condition)
+
+    joined = l.join(r, cond, "left")
+
+    if spec.order_by:
+        order = [
+            F.col("__r_ord").desc_nulls_last()
+            if spec.ascending
+            else F.col("__r_ord").asc_nulls_last()
+        ]
+    else:
+        order = []
+    # deterministic tie-break (the reference's reduceByKey tie is
+    # nondeterministic, JoinPlan.scala:166-188; we pin it)
+    order += [F.col(f"__rt_{c}").desc_nulls_last() for c in spec.tiebreak]
+    if not order:
+        order = [F.lit(1)]
+
+    w = Window.partitionBy(_RID).orderBy(*order)
+    out = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", _RID, "__r_ord", *[f"__r_{c}" for c in right_on],
+              *[f"__rt_{c}" for c in spec.tiebreak])
+    )
+    return out
+
+
+def asof_join_kernel(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts_ms",
+    right_ts: str = "ts_ms",
+    right_cols: list[str] | None = None,
+    allow_exact_matches: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Point-in-time as-of join: newest right row with ts <= left ts per key.
+
+    Implemented as a cogrouped sort-merge pass (applyInPandas over cogroup),
+    equivalent to LAST JOIN with condition ``r.ts <= l.ts ORDER BY r.ts``.
+    """
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    right_cols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [right.schema[c] for c in right_cols]
+    )
+    left_cols = list(left.columns)
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(l_pdf) == 0:
+            return pd.DataFrame(columns=left_cols + right_cols)
+        l_sorted = l_pdf.sort_values(left_ts, kind="stable")
+        if len(r_pdf) == 0:
+            res = l_sorted.copy()
+            for c in right_cols:
+                res[c] = None
+            return res
+        r_sorted = r_pdf.sort_values(right_ts, kind="stable")[[right_ts] + right_cols]
+        merged = pd.merge_asof(
+            l_sorted,
+            r_sorted,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+            allow_exact_matches=allow_exact_matches,
+            suffixes=("", "__r"),
+        )
+        return merged[left_cols + right_cols]
+
+    lg = left.repartition(num_partitions, *on) if num_partitions else left
+    return lg.groupBy(*on).cogroup(right.groupBy(*on)).applyInPandas(
+        merge, schema=out_schema
+    )

@@ -1,0 +1,220 @@
+"""Window aggregation operator — Spark orchestration for the frame kernel.
+
+Two execution tiers (SURVEY.md §2.5):
+
+1. **builtin** — ``pyspark.sql.Window`` rows/range frames. JVM-side,
+   whole-stage-codegen, zero Python. Valid only for the ANSI-compatible
+   subset: no MAXSIZE / EXCLUDE CURRENT_TIME / OPEN / WINDOW UNION /
+   INSTANCE_NOT_IN_WINDOW, and (for range frames) unique order keys per
+   partition — ANSI RANGE admits *all* peers of the current row while
+   OpenMLDB ROWS_RANGE admits only already-buffered ones
+   (WINDOW_CLAUSE.md:100-116). Used as the fast path and as a differential
+   oracle in tests.
+2. **kernel** — ``groupBy(keys).applyInPandas`` with the numpy frame kernel
+   (window_kernel.py). Exact OpenMLDB semantics, Arrow-batched, no per-row
+   Python for the standard aggregates.
+
+Scale design: the shuffle is one exchange on the partition keys (identical
+to the reference batch engine, WindowAggPlan.windowPartition:322-343 —
+repartition + sortWithinPartitions, never a global sort). Catalyst prunes
+the scan to the referenced columns because we select them before the
+shuffle. Giant/skewed keys are handled by ``bucket_ms`` time-chunking with
+history replication — the same expand-and-flag trick as the reference's
+window skew optimization (SkewDataFrameUtils.genUnionDf:110-143), but keyed
+on time buckets so each chunk carries exactly frame-depth history.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from openmldb_spark.plans.specs import Agg, WindowSpec
+from openmldb_spark.operators import window_kernel as wk
+from openmldb_spark.operators.window_kernel import EXPANDED, ORD, PRIMARY
+
+
+def _order_col(df: DataFrame, order_by: str) -> Column:
+    dt = dict(df.dtypes).get(order_by)
+    if dt is None:
+        raise ValueError(f"order column {order_by!r} not in {df.columns}")
+    if dt.startswith("timestamp"):
+        return F.unix_millis(F.col(order_by).cast("timestamp"))
+    return F.col(order_by).cast("long")
+
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _agg_field(agg: Agg, in_field: T.StructField | None) -> T.StructField:
+    f = agg.func
+    if f in ("count", "count_where", "distinct_count"):
+        return T.StructField(agg.alias, T.LongType())
+    if f in ("avg", "avg_where", "top1_ratio"):
+        return T.StructField(agg.alias, T.DoubleType())
+    if f in ("top", "top_n_frequency") or "_cate" in f:
+        return T.StructField(agg.alias, T.StringType())
+    if f in ("lag", "at", "first_value"):
+        assert in_field is not None
+        return T.StructField(agg.alias, in_field.dataType)
+    # sum/min/max (+_where): integer inputs widen to long, else double
+    assert in_field is not None
+    if isinstance(in_field.dataType, _INT_TYPES):
+        return T.StructField(agg.alias, T.LongType())
+    return T.StructField(agg.alias, T.DoubleType())
+
+
+def _pandas_dtype(dt: T.DataType):
+    if isinstance(dt, T.LongType):
+        return "Int64"
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    return None
+
+
+def window_agg(
+    df: DataFrame,
+    spec: WindowSpec,
+    aggs: list[Agg],
+    keep_cols: list[str] | None = None,
+    union: list[DataFrame] | None = None,
+    tier: str = "auto",
+    bucket_ms: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SELECT keep_cols, agg... OVER (spec) FROM df [WINDOW UNION union]."""
+    keys = list(spec.partition_by)
+    keep_cols = list(keep_cols or df.columns)
+
+    if tier == "auto":
+        tier = "builtin" if _builtin_ok(spec, aggs, union) else "kernel"
+    if tier == "builtin":
+        if union or not _builtin_ok(spec, aggs, union):
+            raise ValueError("builtin tier cannot express this spec")
+        return _builtin_window(df, spec, aggs, keep_cols)
+
+    needed = set(keys) | set(keep_cols) | set(spec.tiebreak) | {spec.order_by}
+    for a in aggs:
+        needed.add(a.col)
+        if a.cond:
+            needed.add(a.cond)
+        if a.cate:
+            needed.add(a.cate)
+    needed_cols = [c for c in df.columns if c in needed]
+
+    work = (
+        df.select(*needed_cols)
+        .withColumn(ORD, _order_col(df, spec.order_by))
+        .withColumn(PRIMARY, F.lit(1).cast("int"))
+    )
+    for u in union or []:
+        upart = (
+            u.select(*[c for c in needed_cols if c in u.columns])
+            .withColumn(ORD, _order_col(u, spec.order_by))
+            .withColumn(PRIMARY, F.lit(0).cast("int"))
+        )
+        work = work.unionByName(upart, allowMissingColumns=True)
+
+    # Rows with null/negative order keys are dropped entirely
+    # (WindowAggPlan.isValidOrder:783-790).
+    work = work.where(F.col(ORD).isNotNull() & (F.col(ORD) >= 0))
+    work = work.withColumn(EXPANDED, F.lit(0).cast("int"))
+
+    group_keys = list(keys)
+    if bucket_ms:
+        if spec.frame == "rows":
+            raise ValueError("bucket_ms chunking needs a time-bounded frame")
+        depth_ms = spec.start_delta
+        shifts = max(1, math.ceil(depth_ms / bucket_ms))
+        work = work.withColumn("__bucket", F.floor(F.col(ORD) / F.lit(bucket_ms)))
+        # replicate frame-depth history rows into the following buckets
+        replicas = (
+            work.withColumn("__shift", F.explode(F.sequence(F.lit(1), F.lit(shifts))))
+            .where(
+                F.col(ORD)
+                >= (F.col("__bucket") + F.col("__shift")) * F.lit(bucket_ms) - F.lit(depth_ms)
+            )
+            .withColumn("__bucket", F.col("__bucket") + F.col("__shift"))
+            .withColumn(EXPANDED, F.lit(1).cast("int"))
+            .drop("__shift")
+        )
+        work = work.unionByName(replicas)
+        group_keys = keys + ["__bucket"]
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_fields = [in_fields[c] for c in keep_cols]
+    out_dtypes = {}
+    for a in aggs:
+        fld = _agg_field(a, in_fields.get(a.col))
+        out_fields.append(fld)
+        pdt = _pandas_dtype(fld.dataType)
+        if pdt:
+            out_dtypes[a.alias] = pdt
+    out_schema = T.StructType(out_fields)
+
+    def kernel(pdf):
+        return wk.group_window_features(pdf, spec, aggs, keep_cols, out_dtypes)
+
+    grouped = work.repartition(num_partitions, *group_keys) if num_partitions else work
+    return grouped.groupBy(*group_keys).applyInPandas(kernel, schema=out_schema).select(*keep_cols, *[a.alias for a in aggs])
+
+
+def _builtin_ok(spec: WindowSpec, aggs: list[Agg], union) -> bool:
+    if union or spec.max_size or spec.exclude_current_time or spec.start_open \
+            or spec.end_open or spec.instance_not_in_window \
+            or spec.frame == "rows_merge_rows_range":
+        return False
+    ok_funcs = {"sum", "count", "avg", "min", "max",
+                "sum_where", "count_where", "avg_where", "min_where", "max_where",
+                "first_value"}
+    # first_value is only equivalent when the frame end is CURRENT ROW
+    if spec.end_delta != 0:
+        ok_funcs.discard("first_value")
+    return all(a.func in ok_funcs for a in aggs)
+
+
+def _builtin_window(df: DataFrame, spec: WindowSpec, aggs: list[Agg],
+                    keep_cols: list[str]) -> DataFrame:
+    ord_col = "__ord_builtin"
+    work = df.withColumn(ord_col, _order_col(df, spec.order_by))
+    work = work.where(F.col(ord_col).isNotNull() & (F.col(ord_col) >= 0))
+
+    if spec.frame == "rows":
+        w = (
+            Window.partitionBy(*spec.partition_by)
+            .orderBy(ord_col, *spec.tiebreak)
+            .rowsBetween(-spec.start_delta, -spec.end_delta)
+        )
+    else:
+        w = (
+            Window.partitionBy(*spec.partition_by)
+            .orderBy(ord_col)
+            .rangeBetween(-spec.start_delta, -spec.end_delta)
+        )
+
+    exprs = []
+    for a in aggs:
+        col = F.col(a.col)
+        if a.func.endswith("_where"):
+            col = F.when(F.col(a.cond), col)
+        base = a.func.replace("_where", "")
+        if base == "first_value":
+            # OpenMLDB first_value = NEWEST frame row = current row here
+            e = F.col(a.col)
+        else:
+            fn = {"sum": F.sum, "count": F.count, "avg": F.avg,
+                  "min": F.min, "max": F.max}[base]
+            e = fn(col).over(w)
+            if base in ("sum", "min", "max") and isinstance(
+                df.schema[a.col].dataType, _INT_TYPES
+            ):
+                e = e.cast("long")
+            elif base == "avg":
+                e = e.cast("double")
+            elif base in ("sum", "min", "max"):
+                e = e.cast("double")
+        exprs.append(e.alias(a.alias))
+    return work.select(*keep_cols, *exprs)

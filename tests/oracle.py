@@ -1,0 +1,108 @@
+"""Slow, obviously-correct pure-Python window oracle for property tests.
+
+Implements the OpenMLDB HistoryWindow semantics row-at-a-time, exactly as
+described in SURVEY.md §2.5, independent of the vectorized kernel.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def frame_rows(rows, i, spec):
+    """rows: list of dicts sorted in buffer order; returns list of indices in
+    frame for emit row i (newest last)."""
+    ts_i = rows[i]["__ord"]
+    # eligible buffer = rows before i (+ i itself) that may buffer
+    def elig(j):
+        if spec.instance_not_in_window and rows[j]["__primary"] == 1:
+            return False
+        return True
+
+    end_delta = spec.end_delta
+    at_current = end_delta == 0 and not spec.end_open
+    buf = [j for j in range(i) if elig(j)]
+
+    anchor = None
+    if at_current:
+        if spec.exclude_current_time:
+            buf = [j for j in buf if rows[j]["__ord"] < ts_i]
+            anchor = i
+        else:
+            if elig(i):
+                buf = buf + [i]
+            else:
+                anchor = i
+    else:
+        if elig(i):
+            buf = buf + [i]
+
+    # apply end bound
+    if not at_current:
+        if spec.frame == "rows":
+            buf = buf[: len(buf) - end_delta] if end_delta <= len(buf) else []
+        else:
+            if spec.end_open:
+                buf = [j for j in buf if rows[j]["__ord"] < ts_i - end_delta]
+            else:
+                buf = [j for j in buf if rows[j]["__ord"] <= ts_i - end_delta]
+        anchor = None
+
+    # apply start bound
+    if spec.frame == "rows":
+        total = spec.start_delta + 1 - (1 if anchor is not None else 0) - (
+            spec.end_delta if not at_current else 0
+        )
+        buf = buf[-total:] if total > 0 else []
+    else:
+        if spec.start_open:
+            buf = [j for j in buf if rows[j]["__ord"] > ts_i - spec.start_delta]
+        else:
+            buf = [j for j in buf if rows[j]["__ord"] >= ts_i - spec.start_delta]
+        if spec.frame == "rows_merge_rows_range":
+            min_keep = spec.rows_preceding + 1 - (1 if anchor is not None else 0)
+            full = [j for j in ([jj for jj in range(i) if elig(jj)] +
+                                ([i] if (at_current and elig(i)) else []))
+                    if True]
+            if at_current and spec.exclude_current_time:
+                full = [j for j in full if rows[j]["__ord"] < ts_i or j == i]
+            if len(buf) < min_keep:
+                buf = full[-min_keep:]
+
+    if spec.max_size and spec.max_size > 0:
+        keep = spec.max_size - (1 if anchor is not None else 0)
+        buf = buf[-keep:] if keep > 0 else []
+
+    if anchor is not None:
+        buf = buf + [anchor]
+    return buf
+
+
+def oracle_agg(rows, i, spec, func, col, param=None, cond=None, cate=None):
+    fr = frame_rows(rows, i, spec)
+    vals = [rows[j][col] for j in fr]
+
+    if func in ("lag", "at", "first_value"):
+        k = 0 if func == "first_value" else int(param or 0)
+        # newest-first indexing over the frame
+        if k < len(fr):
+            return rows[fr[len(fr) - 1 - k]][col]
+        return None
+
+    if cond is not None:
+        vals = [v for v, j in zip(vals, fr) if rows[j][cond]]
+    nn = [v for v in vals if v is not None and not (
+        isinstance(v, float) and math.isnan(v))]
+    if func in ("sum", "sum_where"):
+        return sum(nn) if nn else None
+    if func in ("count", "count_where"):
+        return len(nn)
+    if func in ("avg", "avg_where"):
+        return sum(nn) / len(nn) if nn else None
+    if func in ("min", "min_where"):
+        return min(nn) if nn else None
+    if func in ("max", "max_where"):
+        return max(nn) if nn else None
+    if func == "distinct_count":
+        return len(set(nn))
+    raise ValueError(func)

@@ -1,0 +1,318 @@
+"""Golden tests for the numpy frame kernel (no Spark needed).
+
+Cases ported verbatim from the reference yaml corpus:
+- cases/function/window/test_window.yaml id 33/34/35 (first_value over
+  frames with end offsets, rows and rows_range)
+- cases/function/window/test_window_union.yaml id 13 (INSTANCE_NOT_IN_WINDOW)
+- cases/function/window/test_maxsize.yaml-style MAXSIZE interactions
+- EXCLUDE CURRENT_TIME duplicate-ts behaviour (BufferCurrentTimeBuffer trace)
+Plus a hypothesis-style randomized differential test against the slow
+pure-Python oracle (tests/oracle.py).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from openmldb_spark.plans.specs import Agg, WindowSpec
+from openmldb_spark.operators.window_kernel import group_window_features
+from oracle import oracle_agg
+
+
+def run(rows, spec, aggs, keep=("id",)):
+    pdf = pd.DataFrame(rows)
+    if "__primary" not in pdf.columns:
+        pdf["__primary"] = 1
+    pdf["__expanded"] = 0
+    out = group_window_features(pdf, spec, aggs, list(keep))
+    return out.sort_values(list(keep)).reset_index(drop=True)
+
+
+# ---- reference case: test_window.yaml id 33/34/35 ----
+G1 = [
+    dict(id=1, __ord=1612130400000, val1=1),
+    dict(id=2, __ord=1612130401000, val1=2),
+    dict(id=3, __ord=1612130402000, val1=3),
+    dict(id=4, __ord=1612130403000, val1=4),
+    dict(id=5, __ord=1612130404000, val1=5),
+]
+G2 = [
+    dict(id=6, __ord=1612130404000, val1=4),
+    dict(id=7, __ord=1612130405000, val1=3),
+    dict(id=8, __ord=1612130406000, val1=2),
+]
+
+
+def test_first_value_rows_range_end_offsets():
+    w1 = WindowSpec(partition_by=["g"], frame="rows_range", preceding="5s",
+                    end_offset="0s")
+    w2 = WindowSpec(partition_by=["g"], frame="rows_range", preceding="5s",
+                    end_offset="1s")
+    for grp, exp1, exp2 in [
+        (G1, [1, 2, 3, 4, 5], [None, 1, 2, 3, 4]),
+        (G2, [4, 3, 2], [None, 4, 3]),
+    ]:
+        o1 = run(grp, w1, [Agg("first_value", "val1", "agg1")])
+        o2 = run(grp, w2, [Agg("first_value", "val1", "agg2")])
+        assert list(o1["agg1"]) == exp1
+        assert [None if pd.isna(v) else v for v in o2["agg2"]] == exp2
+
+
+def test_first_value_rows_end_offsets():
+    w1 = WindowSpec(partition_by=["g"], frame="rows", preceding=5, end_offset=0)
+    w2 = WindowSpec(partition_by=["g"], frame="rows", preceding=5, end_offset=1)
+    o1 = run(G1, w1, [Agg("first_value", "val1", "agg1")])
+    o2 = run(G1, w2, [Agg("first_value", "val1", "agg2")])
+    assert list(o1["agg1"]) == [1, 2, 3, 4, 5]
+    assert [None if pd.isna(v) else v for v in o2["agg2"]] == [None, 1, 2, 3, 4]
+
+
+# ---- reference case: test_window_union.yaml id 13 ----
+def test_window_union_instance_not_in_window():
+    rows = [
+        dict(id=1, __ord=1590738993000, c4=30, __primary=1),
+        dict(id=4, __ord=1590738994000, c4=33, __primary=1),
+        dict(id=2, __ord=1590738991000, c4=31, __primary=0),
+        dict(id=3, __ord=1590738992000, c4=32, __primary=0),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=2,
+                      instance_not_in_window=True)
+    out = run(rows, spec, [Agg("sum", "c4", "s")])
+    got = dict(zip(out["id"], out["s"]))
+    assert got == {1: 93, 4: 96}  # expected rows from the yaml case
+
+
+def test_window_union_buffer_not_emit():
+    # secondary rows contribute to frames but produce no output rows
+    rows = [
+        dict(id=1, __ord=1000, v=10, __primary=1),
+        dict(id=2, __ord=2000, v=20, __primary=1),
+        dict(id=90, __ord=1500, v=5, __primary=0),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows_range", preceding="10s")
+    out = run(rows, spec, [Agg("sum", "v", "s"), Agg("count", "v", "c")])
+    assert len(out) == 2
+    got = dict(zip(out["id"], out["s"]))
+    assert got == {1: 10, 2: 35}
+
+
+def test_union_same_ts_secondary_sorts_first():
+    # At equal order keys, union rows sort before primary rows
+    # (WindowAggPlan.windowPartition sort includes the union flag).
+    rows = [
+        dict(id=1, __ord=1000, v=1, __primary=1),
+        dict(id=99, __ord=1000, v=100, __primary=0),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=1)
+    out = run(rows, spec, [Agg("sum", "v", "s")])
+    assert list(out["s"]) == [101]  # union row already buffered
+
+
+# ---- EXCLUDE CURRENT_TIME (BufferCurrentTimeBuffer trace) ----
+def test_exclude_current_time():
+    rows = [
+        dict(id=1, __ord=1000, v=1),
+        dict(id=2, __ord=1000, v=2),
+        dict(id=3, __ord=2000, v=4),
+        dict(id=4, __ord=2000, v=8),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows_range", preceding="10s",
+                      exclude_current_time=True, tiebreak=("id",))
+    out = run(rows, spec, [Agg("sum", "v", "s")])
+    assert list(out["s"]) == [1, 2, 7, 11]
+    # without the flag the same-ts earlier row IS included
+    spec2 = WindowSpec(partition_by=["g"], frame="rows_range", preceding="10s",
+                       tiebreak=("id",))
+    out2 = run(rows, spec2, [Agg("sum", "v", "s")])
+    assert list(out2["s"]) == [1, 3, 7, 15]
+
+
+def test_exclude_current_time_rows_frame():
+    rows = [
+        dict(id=1, __ord=1000, v=1),
+        dict(id=2, __ord=1000, v=2),
+        dict(id=3, __ord=2000, v=4),
+        dict(id=4, __ord=2000, v=8),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=2,
+                      exclude_current_time=True, tiebreak=("id",))
+    out = run(rows, spec, [Agg("sum", "v", "s")])
+    # id4: {self} + 2 newest with ts<2000 = 8+1+2
+    assert list(out["s"]) == [1, 2, 7, 11]
+
+
+# ---- MAXSIZE ----
+def test_maxsize_rows_range():
+    rows = [dict(id=i, __ord=1000 * i, v=i) for i in range(1, 7)]
+    spec = WindowSpec(partition_by=["g"], frame="rows_range", preceding="10s",
+                      max_size=3)
+    out = run(rows, spec, [Agg("sum", "v", "s"), Agg("count", "v", "c")])
+    assert list(out["c"]) == [1, 2, 3, 3, 3, 3]
+    assert list(out["s"]) == [1, 3, 6, 9, 12, 15]
+
+
+def test_maxsize_with_exclude_current_time():
+    rows = [
+        dict(id=1, __ord=1000, v=1),
+        dict(id=2, __ord=2000, v=2),
+        dict(id=3, __ord=2000, v=4),
+        dict(id=4, __ord=3000, v=8),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows_range", preceding="10s",
+                      max_size=2, exclude_current_time=True, tiebreak=("id",))
+    out = run(rows, spec, [Agg("sum", "v", "s")])
+    # id3: self + newest 1 row with ts<2000 → 4+1; id4: self + newest(ts<3000)=4
+    assert list(out["s"]) == [1, 3, 5, 12]
+
+
+# ---- OPEN bounds ----
+def test_open_start_bound():
+    rows = [dict(id=i, __ord=1000 * i, v=1) for i in range(1, 6)]
+    closed = WindowSpec(partition_by=["g"], frame="rows_range", preceding="2s")
+    opened = WindowSpec(partition_by=["g"], frame="rows_range", preceding="2s",
+                        start_open=True)
+    oc = run(rows, closed, [Agg("count", "v", "c")])
+    oo = run(rows, opened, [Agg("count", "v", "c")])
+    assert list(oc["c"]) == [1, 2, 3, 3, 3]
+    assert list(oo["c"]) == [1, 2, 2, 2, 2]
+
+
+# ---- null & invalid order handling ----
+def test_null_values_skipped_in_aggs():
+    rows = [
+        dict(id=1, __ord=1000, v=1.0),
+        dict(id=2, __ord=2000, v=None),
+        dict(id=3, __ord=3000, v=3.0),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=10)
+    out = run(rows, spec, [Agg("sum", "v", "s"), Agg("count", "v", "c"),
+                           Agg("avg", "v", "a")])
+    assert list(out["c"]) == [1, 1, 2]
+    assert list(out["s"]) == [1.0, 1.0, 4.0]
+    assert out["a"].tolist() == [1.0, 1.0, 2.0]
+
+
+# ---- lag / at ----
+def test_lag_within_frame():
+    rows = [dict(id=i, __ord=1000 * i, v=i) for i in range(1, 6)]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=2)
+    out = run(rows, spec, [Agg("lag", "v", "l1", param=1),
+                           Agg("lag", "v", "l2", param=2),
+                           Agg("lag", "v", "l3", param=3)])
+    def clean(c):
+        return [None if pd.isna(x) else x for x in out[c]]
+    assert clean("l1") == [None, 1, 2, 3, 4]
+    assert clean("l2") == [None, None, 1, 2, 3]
+    # frame holds only 3 rows → lag(3) always outside the frame
+    assert clean("l3") == [None, None, None, None, None]
+
+
+# ---- hard UDAFs ----
+def test_top_and_top_n_frequency():
+    rows = [
+        dict(id=1, __ord=1000, v=5, t="a"),
+        dict(id=2, __ord=2000, v=9, t="b"),
+        dict(id=3, __ord=3000, v=7, t="a"),
+        dict(id=4, __ord=4000, v=9, t="c"),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=10)
+    out = run(rows, spec, [Agg("top", "v", "topv", param=2),
+                           Agg("top_n_frequency", "t", "topt", param=2),
+                           Agg("top1_ratio", "t", "r1"),
+                           Agg("distinct_count", "t", "dc")])
+    assert list(out["topv"]) == ["5", "9,5", "9,7", "9,9"]
+    assert list(out["topt"]) == ["a", "a,b", "a,b", "a,b"]
+    assert out["r1"].tolist() == [1.0, 0.5, 2 / 3, 0.5]
+    assert list(out["dc"]) == [1, 2, 2, 3]
+
+
+def test_cate_aggs():
+    rows = [
+        dict(id=1, __ord=1000, v=1.0, k="x"),
+        dict(id=2, __ord=2000, v=2.0, k="y"),
+        dict(id=3, __ord=3000, v=3.0, k="x"),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=10)
+    out = run(rows, spec, [Agg("sum_cate", "v", "sc", cate="k"),
+                           Agg("count_cate", "v", "cc", cate="k")])
+    assert list(out["sc"]) == ["x:1", "x:1,y:2", "x:4,y:2"]
+    assert list(out["cc"]) == ["x:1", "x:1,y:1", "x:2,y:1"]
+
+
+# ---- where-variants ----
+def test_where_aggs():
+    rows = [
+        dict(id=i, __ord=1000 * i, v=float(i), pos=(i % 2 == 0))
+        for i in range(1, 6)
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=10)
+    out = run(rows, spec, [Agg("sum_where", "v", "sw", cond="pos"),
+                           Agg("count_where", "v", "cw", cond="pos"),
+                           Agg("min_where", "v", "mw", cond="pos")])
+    assert [None if pd.isna(x) else x for x in out["sw"]] == [None, 2, 2, 6, 6]
+    assert list(out["cw"]) == [0, 1, 1, 2, 2]
+    assert [None if pd.isna(x) else x for x in out["mw"]] == [None, 2, 2, 2, 2]
+
+
+# ---- rows_merge_rows_range ----
+def test_rows_merge_rows_range():
+    rows = [dict(id=i, __ord=[0, 10_000, 11_000, 12_000, 50_000][i - 1], v=1)
+            for i in range(1, 6)]
+    spec = WindowSpec(partition_by=["g"], frame="rows_merge_rows_range",
+                      preceding="2s", rows_preceding=2)
+    out = run(rows, spec, [Agg("count", "v", "c")])
+    # time frame alone: [1,1,2,3,1] — but at least 3 rows retained once seen
+    assert list(out["c"]) == [1, 2, 3, 3, 3]
+
+
+# ---- randomized differential vs pure-Python oracle ----
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_random_differential_vs_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n = 60
+    ts = np.sort(rng.integers(0, 40, n)) * 1000
+    prim = rng.integers(0, 2, n)
+    prim[0] = 1
+    vals = rng.integers(0, 100, n).astype(float)
+    vals[rng.random(n) < 0.15] = np.nan
+    rows = [
+        dict(id=i, __ord=int(ts[i]), v=(None if np.isnan(vals[i]) else float(vals[i])),
+             __primary=int(prim[i]))
+        for i in range(n)
+    ]
+    specs = [
+        WindowSpec(partition_by=["g"], frame="rows", preceding=int(rng.integers(0, 6)),
+                   tiebreak=("id",)),
+        WindowSpec(partition_by=["g"], frame="rows_range",
+                   preceding=f"{int(rng.integers(1, 15))}s", tiebreak=("id",)),
+        WindowSpec(partition_by=["g"], frame="rows_range", preceding="8s",
+                   max_size=3, tiebreak=("id",)),
+        WindowSpec(partition_by=["g"], frame="rows_range", preceding="8s",
+                   exclude_current_time=True, tiebreak=("id",)),
+        WindowSpec(partition_by=["g"], frame="rows_range", preceding="10s",
+                   end_offset="2s", tiebreak=("id",)),
+        WindowSpec(partition_by=["g"], frame="rows_range", preceding="10s",
+                   instance_not_in_window=True, tiebreak=("id",)),
+        WindowSpec(partition_by=["g"], frame="rows", preceding=4,
+                   exclude_current_time=True, tiebreak=("id",)),
+    ]
+    funcs = [("sum", None), ("count", None), ("avg", None), ("min", None),
+             ("max", None), ("distinct_count", None), ("lag", 1), ("lag", 2),
+             ("first_value", None)]
+    for spec in specs:
+        aggs = [Agg(f, "v", f"o{i}", param=p) for i, (f, p) in enumerate(funcs)]
+        got = run(rows, spec, aggs, keep=("id",))
+        # oracle works on the same sort order
+        srt = sorted(rows, key=lambda r: (r["__ord"], r["__primary"], r["id"]))
+        emit = [i for i, r in enumerate(srt) if r["__primary"] == 1]
+        emit_ids = [srt[i]["id"] for i in emit]
+        got = got.set_index("id").loc[emit_ids]
+        for i, (f, p) in enumerate(funcs):
+            exp = [oracle_agg(srt, j, spec, f, "v", param=p) for j in emit]
+            g = got[f"o{i}"].tolist()
+            for a, b in zip(g, exp):
+                if b is None:
+                    assert a is None or pd.isna(a), (spec, f, emit_ids, g, exp)
+                else:
+                    assert a is not None and not pd.isna(a) and abs(a - b) < 1e-9, (
+                        spec, f, g, exp)
