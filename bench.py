@@ -1,0 +1,88 @@
+"""Benchmark harness — headline feature queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...,
+   "cores": N}
+
+Each query is forced with a count() (no driver-side collect of payloads).
+Scaling-efficiency evidence (north rule): run twice, e.g.
+  SPARK_GRAFT_CPUS=8 python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+and compare turns_per_sec (see BASELINE.md measurement protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openmldb_spark.session import get_spark  # noqa: E402
+from openmldb_spark.queries import QUERIES  # noqa: E402
+
+# Headline set: the operators that define the engine (window kernel,
+# union backfill, as-of join, sessionization, frame UDAFs) plus the pure
+# built-in paths for contrast.
+HEADLINE = [
+    "window_rows_range",
+    "window_rows",
+    "window_builtin_tier",
+    "window_maxsize",
+    "window_union",
+    "last_join",
+    "asof_join",
+    "sessionize",
+    "session_stats",
+    "topn_frequency_window",
+    "count_cate_window",
+    "groupby_agg",
+    "join_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("BENCH_RUNS", "1"))
+    spark = get_spark(app_name="openmldb-spark-bench")
+
+    # warm-up: JVM + Python worker pool + parquet footer cache
+    QUERIES["window_rows_range"](spark, sf_dir).count()
+
+    n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 3)
+
+    total = round(sum(times.values()), 3)
+    # throughput on the flagship kernel-tier window query
+    flagship = times.get("window_rows_range", float("nan"))
+    turns_per_sec = round(n_turns / flagship, 1) if flagship else None
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline feature queries wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "turns": n_turns,
+        "turns_per_sec": turns_per_sec,
+        "cores": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -111,9 +111,10 @@ def asof_join_kernel(
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
+    # every field nullable: unmatched left rows carry null right columns
     out_schema = T.StructType(
-        list(left.schema.fields)
-        + [right.schema[c] for c in right_cols]
+        [T.StructField(f.name, f.dataType, True) for f in left.schema.fields]
+        + [T.StructField(c, right.schema[c].dataType, True) for c in right_cols]
     )
     left_cols = list(left.columns)
 
