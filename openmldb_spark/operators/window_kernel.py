@@ -142,6 +142,133 @@ class _SparseTable:
         return out
 
 
+def _factorize_sorted(s: pd.Series):
+    """Factorize to int codes with uniques sorted ascending by str form
+    (the reference's *_cate / top_n_frequency tie/emit order). Nulls → -1."""
+    codes, uniques = pd.factorize(s.to_numpy(object))
+    uniq_str = np.array([str(u) for u in uniques], dtype=object)
+    order = np.argsort(uniq_str, kind="stable")
+    inv = np.empty(len(order), dtype=np.int64)
+    inv[order] = np.arange(len(order))
+    remapped = np.where(codes >= 0, inv[np.maximum(codes, 0)], -1)
+    return remapped, uniq_str[order]
+
+
+def _cat_prefix(codes_e: np.ndarray, weights: np.ndarray | None, u: int):
+    """(n_e+1, u) column-wise cumulative counts (or weighted sums)."""
+    n_e = len(codes_e)
+    M = np.zeros((n_e + 1, u), dtype=np.float64)
+    valid = codes_e >= 0
+    idx = np.flatnonzero(valid)
+    w = np.ones(len(idx)) if weights is None else weights[idx]
+    np.add.at(M, (idx + 1, codes_e[idx]), w)
+    np.cumsum(M, axis=0, out=M)
+    return M
+
+
+def cat_counts(pdf, col, cond, idx_e, lo, hi, E, anchored):
+    """Per-emit-frame category counts matrix (n_emit × u) + sorted uniques.
+
+    Replaces per-row value_counts loops with two vectorized ops:
+    one-hot scatter + cumsum, then M[hi]-M[lo].
+    """
+    codes, uniq = _factorize_sorted(pdf[col])
+    if cond is not None:
+        cm = pdf[cond].fillna(False).to_numpy(bool)
+        codes = np.where(cm, codes, -1)
+    codes_e = codes[idx_e]
+    u = len(uniq)
+    if u == 0:
+        return np.zeros((len(E), 0)), uniq
+    M = _cat_prefix(codes_e, None, u)
+    counts = M[hi] - M[lo]
+    anchor_codes = codes[E]
+    am = anchored & (anchor_codes >= 0)
+    ai = np.flatnonzero(am)
+    np.add.at(counts, (ai, anchor_codes[ai]), 1.0)
+    return counts, uniq
+
+
+def topn_freq_strings(counts: np.ndarray, uniq: np.ndarray, k: int) -> list:
+    """fz_topn_frequency emit: top-k keys by (count desc, key asc) as csv
+    (FZTopNFrequency, feature_zero_def.cc:438-554)."""
+    if counts.shape[1] == 0:
+        return [""] * len(counts)
+    # columns are key-ascending; stable sort on -count → ties by key asc
+    ordr = np.argsort(-counts, axis=1, kind="stable")[:, :k]
+    top_counts = np.take_along_axis(counts, ordr, axis=1)
+    out = []
+    for r in range(len(counts)):
+        keys = [str(uniq[c]) for c, n in zip(ordr[r], top_counts[r]) if n > 0]
+        out.append(",".join(keys))
+    return out
+
+
+def cate_agg_strings(pdf, cate_col, val_col, cond, base, idx_e, lo, hi, E,
+                     anchored, numeric) -> list:
+    """{sum,count,avg,min,max}_cate[_where]: per-category aggregate within
+    the frame, emitted "k1:v1,k2:v2" sorted by key (*_by_category_def.cc).
+
+    sum/count/avg via category prefix sums (vectorized); min/max via
+    per-row numpy slices (no prefix structure)."""
+    codes, uniq = _factorize_sorted(pdf[cate_col])
+    x, _, _ = numeric(val_col)
+    valid = (codes >= 0) & ~np.isnan(x)
+    if cond is not None:
+        cm = pdf[cond].fillna(False).to_numpy(bool)
+        valid &= cm
+    codes = np.where(valid, codes, -1)
+    u = len(uniq)
+    n = len(E)
+    if u == 0:
+        return [""] * n
+    codes_e = codes[idx_e]
+    x_e = x[idx_e]
+    anchor_codes = codes[E]
+    anchor_vals = x[E]
+    am = anchored & (anchor_codes >= 0)
+    ai = np.flatnonzero(am)
+
+    if base in ("sum", "count", "avg"):
+        C = _cat_prefix(codes_e, None, u)
+        cnt = C[hi] - C[lo]
+        np.add.at(cnt, (ai, anchor_codes[ai]), 1.0)
+        if base == "count":
+            vals = cnt
+        else:
+            S = _cat_prefix(codes_e, np.where(valid[idx_e], x_e, 0.0), u)
+            sm = S[hi] - S[lo]
+            np.add.at(sm, (ai, anchor_codes[ai]), anchor_vals[ai])
+            vals = sm if base == "sum" else np.where(cnt > 0, sm / np.maximum(cnt, 1), np.nan)
+        out = []
+        is_count = base == "count"
+        for r in range(n):
+            parts = [
+                f"{uniq[c]}:{_fmt_num(int(cnt[r, c])) if is_count else _fmt_num(vals[r, c])}"
+                for c in range(u) if cnt[r, c] > 0
+            ]
+            out.append(",".join(parts))
+        return out
+
+    # min/max: per-row slice reduction
+    op = np.fmin if base == "min" else np.fmax
+    out = []
+    xe_masked = np.where(valid[idx_e], x_e, np.nan)
+    for r in range(n):
+        sl_codes = codes_e[lo[r]:hi[r]]
+        sl_vals = xe_masked[lo[r]:hi[r]]
+        acc: dict[int, float] = {}
+        m = sl_codes >= 0
+        for c, v in zip(sl_codes[m], sl_vals[m]):
+            if not np.isnan(v):
+                acc[c] = v if c not in acc else (min(acc[c], v) if base == "min" else max(acc[c], v))
+        if am[r]:
+            c, v = anchor_codes[r], anchor_vals[r]
+            acc[c] = v if c not in acc else (min(acc[c], v) if base == "min" else max(acc[c], v))
+        out.append(",".join(f"{uniq[c]}:{_fmt_num(acc[c])}" for c in sorted(acc)))
+    return out
+
+
 def _fmt_num(v) -> str:
     """Format a value for csv-emitting UDAFs (top, *_cate)."""
     if isinstance(v, (float, np.floating)):
@@ -233,13 +360,6 @@ def group_window_features(
         c = pc[hi] - pc[lo] + ok.astype(np.float64)
         return s, c
 
-    def frame_indices(i_emit: int):
-        """Eligible pdf row indices of one frame (for looped UDAFs)."""
-        sl = idx_e[lo[i_emit] : hi[i_emit]]
-        if anchored[i_emit]:
-            sl = np.concatenate([sl, [E[i_emit]]])
-        return sl
-
     for agg in aggs:
         f, col, alias = agg.func, agg.col, agg.alias
         if f in ("sum", "avg", "count", "sum_where", "avg_where", "count_where"):
@@ -289,77 +409,44 @@ def group_window_features(
                 valid = (pos >= lo) & (pos < hi)
                 res[valid] = raw[idx_e[pos[valid]]]
             out[alias] = res
-        elif f == "distinct_count":
-            raw = pdf[col]
-            vals = np.zeros(len(E), dtype=np.float64)
-            for j in range(len(E)):
-                fi = frame_indices(j)
-                s = raw.iloc[fi].dropna()
-                vals[j] = s.nunique()
-            out[alias] = vals
+        elif f in ("distinct_count", "top_n_frequency", "top1_ratio"):
+            # One-hot prefix-sum over factorized categories: counts for all
+            # emit frames in two numpy ops (categorical cardinality in
+            # feature data is small; guarded fallback below).
+            counts, uniq = cat_counts(pdf, col, None, idx_e, lo, hi, E,
+                                      anchored)
+            if f == "distinct_count":
+                out[alias] = (counts > 0).sum(axis=1).astype(np.float64)
+            elif f == "top1_ratio":
+                tot = counts.sum(axis=1)
+                out[alias] = np.where(
+                    tot > 0, counts.max(axis=1) / np.maximum(tot, 1), np.nan
+                )
+            else:
+                k = int(agg.param or 1)
+                out[alias] = topn_freq_strings(counts, uniq, k)
         elif f == "top":
             k = int(agg.param or 1)
-            raw = pdf[col]
+            x, x_e, nn = numeric(col)
+            xv = np.where(nn, x_e, np.nan)
+            sv, ok = self_vals(col, None)
             res = []
             for j in range(len(E)):
-                fi = frame_indices(j)
-                s = pd.to_numeric(raw.iloc[fi], errors="coerce").dropna()
-                topk = np.sort(s.to_numpy())[::-1][:k]
-                res.append(",".join(_fmt_num(v) for v in topk))
+                fr = xv[lo[j]:hi[j]]
+                fr = fr[~np.isnan(fr)]
+                if anchored[j] and ok[j]:
+                    fr = np.append(fr, sv[j])
+                if len(fr) > k:
+                    fr = fr[np.argpartition(fr, len(fr) - k)[len(fr) - k:]]
+                res.append(",".join(_fmt_num(v) for v in np.sort(fr)[::-1]))
             out[alias] = res
-        elif f == "top_n_frequency":
-            k = int(agg.param or 1)
-            raw = pdf[col]
-            res = []
-            for j in range(len(E)):
-                fi = frame_indices(j)
-                s = raw.iloc[fi].dropna().astype(str)
-                if len(s) == 0:
-                    res.append("")
-                    continue
-                vc = s.value_counts()
-                # ties: higher count first, then key ascending (deterministic)
-                items = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-                res.append(",".join(key for key, _ in items))
-            out[alias] = res
-        elif f == "top1_ratio":
-            raw = pdf[col]
-            vals = np.full(len(E), np.nan)
-            for j in range(len(E)):
-                fi = frame_indices(j)
-                s = raw.iloc[fi].dropna()
-                if len(s):
-                    vals[j] = s.value_counts().iloc[0] / len(s)
-            out[alias] = vals
         elif f.endswith("_cate") or f.endswith("_cate_where"):
             base = f.split("_cate")[0]
             cond = agg.cond if f.endswith("_where") else None
-            raw_v = pd.to_numeric(pdf[col], errors="coerce")
-            raw_c = pdf[agg.cate]
-            cond_v = pdf[cond].fillna(False) if cond else None
-            res = []
-            for j in range(len(E)):
-                fi = frame_indices(j)
-                v = raw_v.iloc[fi]
-                c = raw_c.iloc[fi]
-                m = v.notna() & c.notna()
-                if cond is not None:
-                    m &= cond_v.iloc[fi].astype(bool)
-                if not m.any():
-                    res.append("")
-                    continue
-                g = v[m].groupby(c[m].astype(str))
-                agged = {
-                    "sum": g.sum,
-                    "count": g.count,
-                    "avg": g.mean,
-                    "min": g.min,
-                    "max": g.max,
-                }[base]()
-                res.append(
-                    ",".join(f"{key}:{_fmt_num(val)}" for key, val in sorted(agged.items()))
-                )
-            out[alias] = res
+            out[alias] = cate_agg_strings(
+                pdf, agg.cate, col, cond, base, idx_e, lo, hi, E, anchored,
+                numeric,
+            )
         else:  # pragma: no cover
             raise ValueError(f"unhandled agg func {f}")
 
