@@ -1,0 +1,236 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-architected for 100 TB:
+
+- exact: hash-groupBy on a digest of the dedup key. One shuffle on the
+  digest (uniform by construction — md5 keys never skew).
+- MinHash + LSH: shingle → per-seed min-hash signature (map-only) →
+  band buckets (one shuffle on band hash) → candidate pairs within
+  buckets (bucket-local join) → exact-jaccard verification. Sub-quadratic:
+  only bucket-colliding pairs are compared.
+- SimHash: 64-bit sign-of-weighted-sum signature via an Arrow-vectorized
+  pandas UDF; near-dups = signatures within Hamming distance d (banded
+  lookup over 4×16-bit chunks).
+- n-gram Jaccard (exact): explode distinct shingles, self-join on
+  shingle, group-count intersections. Quadratic in colliding docs —
+  correctness oracle for the LSH tier, not the scale path.
+- embedding cosine: exact pair cosine above a threshold (see
+  similarity.py for the bucketed ANN variant).
+
+Hash choice: md5 here (bit-identical in DuckDB → every stage is
+oracle-checkable); at production scale swap `_hash_expr` to xxhash64 —
+same topology, 64-bit ints instead of hex strings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from openmldb_spark.pipeline.text import shingles_col, tokens_col
+
+
+def _hash_expr(c: Column, seed: int) -> Column:
+    return F.md5(F.concat(F.lit(f"{seed}|"), c))
+
+
+def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per distinct key tuple.
+
+    Returns (digest, keep_id, dup_cnt). At scale: single shuffle on the
+    digest; partial aggregation map-side."""
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    return (
+        df.select(digest.alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str,
+    n_hashes: int = 8, shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig0..sig{n-1}): per-seed min of hashed shingles.
+
+    Map-only — no shuffle; whole-stage codegen end to end."""
+    toks = tokens_col(F.col(text_col))
+    sh = shingles_col(toks, shingle_k)
+    out = df.select(F.col(id_col), sh.alias("shingles"))
+    for s in range(n_hashes):
+        out = out.withColumn(
+            f"sig{s}",
+            F.array_min(F.transform(F.col("shingles"),
+                                    lambda x, s=s: _hash_expr(x, s))),
+        )
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    bands: int = 4, rows_per_band: int = 2, shingle_k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH + exact-jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
+    restricted to band-bucket collisions. Shuffles: one on band hash
+    (candidate generation), one on id for the verify join."""
+    n_hashes = bands * rows_per_band
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(
+                "|", *[F.col(f"sig{b * rows_per_band + r}")
+                       for r in range(rows_per_band)])).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn("inter",
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    shingle_k: int = 3, threshold: float = 0.4,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold (id_a < id_b).
+
+    Explode-join: quadratic in docs sharing a shingle — the differential
+    oracle for the LSH tier; use minhash_lsh_pairs at scale."""
+    toks = tokens_col(F.col(text_col))
+    sh = df.select(F.col(id_col), shingles_col(toks, shingle_k).alias("shs"))
+    sizes = sh.select(id_col, F.size("shs").alias("n"))
+    ex = sh.select(id_col, F.explode("shs").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n").alias("nb")), "id_b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+_SIMHASH_BITS = 64
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document (Arrow-vectorized pandas UDF).
+
+    bit_i(sig) = sign of Σ_tokens count(token) * (bit_i(h(token)) ? +1 : -1)
+    with h = blake2b-64 (stable across processes, unlike Python hash())."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _simhash(tokens: pd.Series) -> pd.Series:
+        out = np.zeros(len(tokens), dtype=np.int64)
+        for i, toks in enumerate(tokens):
+            if toks is None or len(toks) == 0:
+                continue
+            acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+            vals, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            for tok, cnt in zip(vals, counts):
+                digest = hashlib.blake2b(str(tok).encode(),
+                                         digest_size=8).digest()
+                bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+                acc += np.where(bits == 1, cnt, -cnt)
+            sig = int("".join("1" if v > 0 else "0" for v in acc), 2)
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        _simhash(tokens_col(F.col(text_col))).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Banded by pigeonhole: split the 64 bits into max_hamming+1 chunks —
+    any pair within the distance agrees exactly on ≥1 chunk → join on
+    (chunk_idx, chunk_value), then exact popcount filter. One shuffle on
+    the chunk key; more chunks = coarser buckets = more candidates (the
+    standard recall/cost dial)."""
+    n_chunks = min(32, max(2, max_hamming + 1))
+    bounds = [(i * _SIMHASH_BITS // n_chunks,
+               (i + 1) * _SIMHASH_BITS // n_chunks) for i in range(n_chunks)]
+    sigs = simhash(df, text_col, id_col)
+    chunks = sigs.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("ci"),
+                     F.shiftrightunsigned("simhash", lo)
+                     .bitwiseAND(F.lit((1 << (hi - lo)) - 1)).alias("cv"))
+            for i, (lo, hi) in enumerate(bounds)
+        ])).alias("c"),
+    ).select(id_col, "simhash", "c.ci", "c.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ci") == F.col("b.ci"))
+               & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"))
+        .distinct()
+        .withColumn("hamming",
+                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

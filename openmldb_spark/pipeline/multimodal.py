@@ -1,0 +1,177 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns plus a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The image/audio codec libraries
+are not available in this environment, so the decode step is STUBBED:
+
+- ``decoder="fake"`` (default in tests): a deterministic byte-hash
+  pseudo-decoder so the full Spark plumbing — schema, partitioning, UDF
+  signature, Arrow batch shape — is real and testable.
+- ``decoder="real"``: raises NotImplementedError at the decode call
+  site; wire Pillow/librosa/pyav here in a full environment.
+
+At 100 TB: media rows are large → keep `spark.sql.files.maxPartitionBytes`
+at 128m so tasks stay memory-bounded, and select metadata-only columns
+(Catalyst prunes the binary payload from scans that don't decode).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("media_type", T.StringType()),   # image|audio|video
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", MEDIA_META),
+])
+
+
+def synthetic_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic fake media table from a text table (for tests):
+    payload = utf-8 bytes of the text; meta derived from lengths."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        c.cast("binary").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("application/x-fake").alias("mime"),
+            (F.length(c) % 64 + 8).cast("int").alias("width"),
+            (F.length(c) % 48 + 8).cast("int").alias("height"),
+            (F.length(c).cast("long") * 10).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic pseudo-pixels: repeat payload bytes to w*h*3."""
+    if payload is None or len(payload) == 0:
+        return np.zeros((h, w, 3), dtype=np.uint8)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    return np.resize(buf, (h, w, 3))
+
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("mean_px", T.DoubleType()),
+    T.StructField("std_px", T.DoubleType()),
+    T.StructField("histo8", T.ArrayType(T.DoubleType())),
+])
+
+
+def decode_features(df: DataFrame, decoder: str = "fake",
+                    batch_hook=None) -> DataFrame:
+    """Decode payloads and emit per-media pixel features via mapInPandas.
+
+    ``batch_hook(pdf)`` (tests) observes each Arrow batch shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if batch_hook is not None:
+                batch_hook(pdf)
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media decoding requires codec libraries "
+                    "(Pillow/librosa/pyav) not present in this environment"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["meta"]
+                w = int(meta["width"] if meta is not None else 8)
+                h = int(meta["height"] if meta is not None else 8)
+                px = _fake_decode(r["payload"], w, h).astype(np.float64)
+                histo, _ = np.histogram(px, bins=8, range=(0, 256))
+                rows.append({
+                    "media_id": r["media_id"],
+                    "n_bytes": len(r["payload"] or b""),
+                    "mean_px": float(px.mean()),
+                    "std_px": float(px.std()),
+                    "histo8": (histo / max(px.size, 1)).tolist(),
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize(df: DataFrame, out_w: int, out_h: int,
+           decoder: str = "fake") -> DataFrame:
+    """Nearest-neighbor resize of decoded media → new payload bytes."""
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError("real decoder not available")
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["meta"]
+                w = int(meta["width"] if meta is not None else 8)
+                h = int(meta["height"] if meta is not None else 8)
+                px = _fake_decode(r["payload"], w, h)
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                rs = px[np.ix_(yi, xi)]
+                new_meta = dict(meta) if meta is not None else {}
+                new_meta.update({"width": out_w, "height": out_h})
+                rows.append({"media_id": r["media_id"],
+                             "payload": rs.tobytes(), "meta": new_meta})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000,
+                 decoder: str = "fake") -> DataFrame:
+    """Sample pseudo-frames every `every_ms` of duration (video path):
+    one output row per (media_id, frame_idx)."""
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError("real decoder not available")
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["meta"]
+                dur = int(meta["duration_ms"] if meta is not None else 0)
+                payload = r["payload"] or b""
+                n = max(1, dur // every_ms)
+                for i in range(int(n)):
+                    lo = (i * len(payload)) // n
+                    hi = ((i + 1) * len(payload)) // n
+                    rows.append({
+                        "media_id": r["media_id"], "frame_idx": i,
+                        "frame_ms": i * every_ms,
+                        "frame_bytes": payload[lo:hi],
+                    })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_col: pure built-in dot/norm via zip_with + aggregate (JVM).
+- ann_bruteforce: exact top-k per query — broadcast the (small) query
+  set against the (huge) corpus: map-side cross join, no corpus shuffle;
+  the only exchange is the per-query top-k (tiny after local pruning).
+- ann_lsh: random-hyperplane bucketing — corpus hashed to sign-pattern
+  buckets (map-only), queries probe their own bucket; recall traded for
+  a bucket-local search. The scale path when the query set is large.
+- embedding_near_dups: corpus×corpus near-duplicate pairs above a cosine
+  threshold, LSH-bucketed to avoid the full quadratic join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns (built-ins)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_bruteforce(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query row.
+
+    queries: (query_id, vec) — small; broadcast. Ties broken by corpus id
+    ascending for determinism."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")))
+    sims = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
+        query_id_col, id_col,
+        cosine_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, id_col, "rk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id from fixed random hyperplanes (map-only)."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(v)) for v in p])) >= 0, 1
+               ).otherwise(0)
+        for p in planes
+    ]
+    acc = F.lit(0)
+    for b in bits:
+        acc = acc * 2 + b
+    return acc
+
+
+def ann_lsh(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    query_id_col: str = "query_id", n_planes: int = 4, seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Bucketed ANN: search only the query's hyperplane bucket.
+
+    Recall < 1 by construction (report alongside ann_bruteforce)."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+    cb = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket_col(F.col(vec_col), planes).alias("__bucket"),
+    )
+    qb = F.broadcast(queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("__bucket"),
+    ))
+    sims = cb.join(qb, "__bucket").select(
+        query_id_col, id_col,
+        cosine_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, id_col, "rk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame, threshold: float = 0.95,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_planes: int = 0, seed: int = 7, dim: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold.
+
+    n_planes=0 → exact quadratic join (oracle tier). n_planes>0 → only
+    same-LSH-bucket pairs compared (scale tier; high-cosine pairs collide
+    with probability (1 - θ/π)^n_planes)."""
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    if n_planes > 0:
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        planes = _planes(dim, n_planes, seed)
+        base = base.withColumn(
+            "__bucket", lsh_bucket_col(F.col(vec_col), planes))
+        join_cond = (F.col(f"a.__bucket") == F.col("b.__bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            .alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

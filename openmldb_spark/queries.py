@@ -654,6 +654,247 @@ FROM transcripts
 
 
 # --------------------------------------------------------------------------
+# Training-data pipeline: dedup / similarity / text analysis
+# (openmldb_spark/pipeline/*; first-class per the build brief)
+# --------------------------------------------------------------------------
+
+# DuckDB mirror of pipeline.text.tokens_col / shingles_col (k=3)
+_DUCK_TOKS = ("list_filter(string_split_regex(regexp_replace(lower(text), "
+              "'[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')")
+_DUCK_SHINGLES = ("list_distinct([array_to_string(tk[i:i+2], ' ') "
+                  "for i in generate_series(1, greatest(len(tk)-2, 0))])")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openmldb_spark.pipeline.dedup import dedup_exact
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_exact(d, ["text"], "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openmldb_spark.pipeline.text import text_stats
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_stats(d, "text", keep=["doc_id"])
+
+
+SQL_TEXT_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS tk FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS INT) AS n_char,
+         CAST(len(tk) AS INT) AS n_tok,
+         CAST(LENGTH(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS INT) AS n_alnum,
+         CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
+         CAST(LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS INT) AS n_upper,
+         CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS INT) AS n_punct,
+         CAST(LENGTH(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS INT) AS n_space,
+         CAST(len(list_intersect(list_distinct(tk),
+              ['the','and','of','to','in','is','that','it','for','with'])) AS INT) AS en_hits
+  FROM toks
+)
+SELECT doc_id, n_char, n_tok, n_digit, n_upper, n_punct, n_space,
+       ROUND(CAST(n_alnum AS DOUBLE) / GREATEST(n_tok, 1), 6) AS avg_tok_len,
+       ROUND(CAST(en_hits AS DOUBLE) / GREATEST(n_tok, 1), 6) AS stop_ratio,
+       ROUND(
+         (CASE WHEN n_char < 20 THEN 0.0 ELSE 1.0 END)
+         * (1.0 - LEAST(CAST(n_digit AS DOUBLE) / GREATEST(n_char, 1), 1.0))
+         * LEAST((CAST(en_hits AS DOUBLE) / GREATEST(n_tok, 1)) * 4.0 + 0.2, 1.0),
+       6) AS quality
+FROM base
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openmldb_spark.pipeline.text import lang_id
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(d, "text", keep=["doc_id"])
+
+
+def _lang_sql() -> str:
+    from openmldb_spark.pipeline.text import LANG_STOPWORDS
+    hits = ",\n".join(
+        f"CAST(len(list_intersect(list_distinct(tk), "
+        f"[{', '.join(repr(w) for w in words)}])) AS INT) AS hits_{lang}"
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    )
+    langs = sorted(LANG_STOPWORDS)
+    mx = f"GREATEST({', '.join('hits_' + la for la in langs)})"
+    pred = "CASE WHEN " + mx + " = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{la} = {mx} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+h AS (SELECT doc_id, {hits} FROM toks)
+SELECT doc_id, {', '.join('hits_' + la for la in langs)},
+       {pred} AS lang_pred
+FROM h
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openmldb_spark.pipeline.text import fingerprint
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(d, "text", keep=["doc_id"])
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, tk, {_DUCK_SHINGLES} AS shs FROM toks)
+SELECT doc_id,
+       md5(array_to_string(tk, ' ')) AS fp_exact,
+       list_min([md5(x) for x in shs]) AS fp_min_shingle,
+       list_max([md5(x) for x in shs]) AS fp_max_shingle
+FROM sh
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openmldb_spark.pipeline.dedup import ngram_jaccard_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.4)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shs FROM toks),
+sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS DOUBLE) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.n + sb.n - i) >= 0.4
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openmldb_spark.pipeline.dedup import minhash_lsh_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(d, "text", "doc_id", bands=4, rows_per_band=2,
+                             shingle_k=3, threshold=0.4)
+
+
+def _minhash_sql(bands: int = 4, rpb: int = 2, threshold: float = 0.4) -> str:
+    n = bands * rpb
+    sig_exprs = ",\n       ".join(
+        f"list_min([md5('{s}|' || x) for x in shs]) AS sig{s}"
+        for s in range(n)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"sig{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shs FROM toks),
+sig AS (SELECT doc_id, shs,
+       {sig_exprs}
+FROM sh),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+             / (len(sa.shs) + len(sb.shs)
+                - len(list_intersect(sa.shs, sb.shs))), 6) AS jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+      >= {threshold}
+"""
+
+
+SQL_MINHASH_LSH = _minhash_sql()
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openmldb_spark.pipeline.similarity import ann_bruteforce
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qset = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ann_bruteforce(e, qset, k=10)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS c
+  FROM embeddings e, q
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY c DESC, vec_id ASC) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rk AS INT) AS rk, ROUND(c, 4) AS cosine
+FROM r WHERE rk <= 10
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openmldb_spark.pipeline.similarity import embedding_near_dups
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dups(e, threshold=0.4)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No SQL oracle (blake2b not in DuckDB) — driver rows-only check;
+    exactness covered by golden unit tests."""
+    from openmldb_spark.pipeline.dedup import simhash_near_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_pairs(d, "text", "doc_id", max_hamming=12)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode plumbing (fake decoder; see pipeline/multimodal.py).
+    Rows-only check; batch/schema exactness covered by unit tests."""
+    from openmldb_spark.pipeline.multimodal import (decode_features,
+                                                    synthetic_media)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthetic_media(d, "text", "doc_id")
+    return decode_features(media, decoder="fake")
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -678,6 +919,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_agg": q_groupby_agg,
     "join_agg": q_join_agg,
     "scalar_funcs": q_scalar_funcs,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -701,4 +952,14 @@ ORACLES: dict[str, str] = {
     "groupby_agg": SQL_GROUPBY_AGG,
     "join_agg": SQL_JOIN_AGG,
     "scalar_funcs": SQL_SCALAR_FUNCS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH,
+    "ann_cosine_topk": SQL_ANN_TOPK,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    # simhash_near_pairs / multimodal_features: intentionally no oracle
+    # (non-SQL-expressible hash / binary decode) → rows-only check
 }

@@ -1,0 +1,163 @@
+"""Unit tests for the training-data pipeline modules: properties the
+DuckDB oracles can't express (LSH recall, simhash determinism, media
+batch plumbing, ANN bucketing)."""
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_lsh_pairs_subset_of_exact(spark, docs):
+    from openmldb_spark.pipeline.dedup import (minhash_lsh_pairs,
+                                               ngram_jaccard_pairs)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                     threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, "text", "doc_id",
+                                   threshold=0.4).collect()
+    }
+    # every verified LSH pair is a true pair with the same jaccard
+    for k, v in lsh.items():
+        assert k in exact and abs(v - exact[k]) < 1e-9
+    # recall on high-jaccard pairs should be decent (banded 4x2 @ 0.4)
+    high = {k for k, v in exact.items() if v >= 0.8}
+    if high:
+        assert len(high & set(lsh)) / len(high) >= 0.8
+
+
+def test_simhash_deterministic_and_sensitive(spark):
+    from openmldb_spark.pipeline.dedup import simhash
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "the quick brown fox jumps over the lazy cat"),
+         (4, "completely different content about spark engines"),
+         (5, "")],
+        ["id", "text"],
+    )
+    out = {r.id: r.simhash for r in simhash(df, "text", "id").collect()}
+    assert out[1] == out[2]                      # identical text → same sig
+    h13 = bin(out[1] ^ out[3] & (2**64 - 1)).count("1")
+    h14 = bin((out[1] ^ out[4]) & (2**64 - 1)).count("1")
+    assert h13 < h14                             # near-dup closer than random
+    assert out[5] == 0
+
+    # stable across runs (blake2b, not PYTHONHASHSEED-dependent)
+    out2 = {r.id: r.simhash for r in simhash(df, "text", "id").collect()}
+    assert out == out2
+
+
+def test_simhash_near_pairs_finds_near_dup(spark):
+    from openmldb_spark.pipeline.dedup import simhash_near_pairs
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "unrelated words entirely disjoint vocabulary here now")],
+        ["id", "text"],
+    )
+    pairs = simhash_near_pairs(df, "text", "id", max_hamming=16).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ann_lsh_subset_and_recall(spark, embs):
+    from openmldb_spark.pipeline.similarity import ann_bruteforce, ann_lsh
+    qset = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bf = ann_bruteforce(embs, qset, k=5).collect()
+    lsh = ann_lsh(embs, qset, k=5, n_planes=2).collect()
+    bf_map = {(r.query_id, r.vec_id): r.cosine for r in bf}
+    # LSH cosines are exact for the pairs it returns
+    lsh_pairs = {(r.query_id, r.vec_id) for r in lsh}
+    # self-match always in the query's own bucket
+    for q in [0, 1, 2]:
+        assert (q, q) in lsh_pairs
+    # rank-1 of LSH == self with cosine ~1
+    for r in lsh:
+        if r.rk == 1:
+            assert r.vec_id == r.query_id and abs(r.cosine - 1.0) < 1e-4
+
+
+def test_multimodal_batch_plumbing(spark, docs):
+    from openmldb_spark.pipeline.multimodal import (decode_features,
+                                                    frame_sample, resize,
+                                                    synthetic_media)
+    media = synthetic_media(docs.limit(50), "text", "doc_id")
+    feats = decode_features(media, decoder="fake").collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r.n_bytes > 0
+        assert 0 <= r.mean_px <= 255
+        assert len(r.histo8) == 8
+        assert abs(sum(r.histo8) - 1.0) < 1e-9
+
+    rs = resize(media, 4, 4, decoder="fake").collect()
+    assert all(len(r.payload) == 4 * 4 * 3 for r in rs)
+    assert all(r.meta["width"] == 4 and r.meta["height"] == 4 for r in rs)
+
+    frames = frame_sample(media.limit(5), every_ms=500, decoder="fake")
+    fr = frames.collect()
+    assert len(fr) >= 5
+    # frame bytes concatenate back to the payload
+    by_id = {}
+    for r in sorted(fr, key=lambda r: (r.media_id, r.frame_idx)):
+        by_id.setdefault(r.media_id, b"")
+        by_id[r.media_id] += bytes(r.frame_bytes)
+    payloads = {r.media_id: bytes(r.payload)
+                for r in media.limit(5).collect()}
+    assert by_id == payloads
+
+
+def test_multimodal_real_decoder_stub(spark, docs):
+    from openmldb_spark.pipeline.multimodal import (decode_features,
+                                                    synthetic_media)
+    media = synthetic_media(docs.limit(2), "text", "doc_id")
+    with pytest.raises(Exception) as ei:
+        decode_features(media, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+
+
+def test_dedup_exact_finds_real_dups(spark):
+    from openmldb_spark.pipeline.dedup import dedup_exact
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    out = {r.keep_id: r.dup_cnt for r in
+           dedup_exact(df, ["text"], "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_tokens_and_shingles_edgecases(spark):
+    from openmldb_spark.pipeline.text import shingles_col, tokens_col
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "  --  "), (4, "One, TWO three four")],
+        ["id", "text"],
+    )
+    out = df.select(
+        "id",
+        tokens_col("text").alias("toks"),
+        shingles_col(tokens_col("text"), 3).alias("sh"),
+    ).collect()
+    got = {r.id: (r.toks, r.sh) for r in out}
+    assert got[1] == (["a", "b"], [])          # fewer than k tokens
+    assert got[2] == ([], [])
+    assert got[3] == ([], [])
+    assert got[4][0] == ["one", "two", "three", "four"]
+    assert got[4][1] == ["one two three", "two three four"]
