@@ -1,0 +1,125 @@
+"""Scaling-efficiency evidence (north rule: ≥0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so the N→4N criterion is
+evidenced by running the SAME job on the SAME input at two local
+parallelism levels (local[8] vs local[32]) — per the driver instruction.
+The input is scaled up (replicated transcripts) until compute dominates
+fixed overheads, which is the regime a real cluster runs in.
+
+    python bench_scaling.py                 # both levels + efficiency
+    python bench_scaling.py --cores 8       # one level (child mode)
+
+Prints one JSON line; the wrapper also appends a row to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DATA = os.environ.get("SCALE_DATA", "/tmp/scale_transcripts_big.parquet")
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "100"))  # 100 × sf0.1 = 10M turns
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def ensure_data() -> None:
+    """Replicate the derived transcript table REPLICAS× with distinct
+    conv_ids (deterministic)."""
+    if os.path.exists(os.path.join(DATA, "_SUCCESS")):
+        return
+    import pyspark.sql.functions as F
+    from openmldb_spark.session import get_spark
+    from openmldb_spark.transcripts import transcripts_df
+
+    spark = get_spark(app_name="gen-scale-data", master="local[32]")
+    t = transcripts_df(spark, SF_DIR)
+    big = (
+        t.withColumn("__rep", F.explode(
+            F.sequence(F.lit(0), F.lit(REPLICAS - 1))))
+        .withColumn("conv_id",
+                    F.concat_ws("_", F.col("conv_id"), F.col("__rep")))
+        .drop("__rep", "ts")
+    )
+    big.repartition(64).write.mode("overwrite").parquet(DATA)
+    spark.stop()
+
+
+def run_level(cores: int) -> dict:
+    import pyspark.sql.functions as F
+    from openmldb_spark.session import get_spark
+    from openmldb_spark.plans.specs import Agg, WindowSpec
+    from openmldb_spark.operators.window import window_agg
+
+    # shuffle partitions = cores: one wave of equally-sized tasks; the
+    # real-cluster analog is 2-3× total cores (BASELINE.md protocol)
+    spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores)
+    t = spark.read.parquet(DATA)
+    n = t.count()
+
+    spec = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
+                      frame="rows_range", preceding="30m",
+                      tiebreak=("turn_idx",))
+    aggs = [Agg("sum", "value", "s"), Agg("count", "value", "c"),
+            Agg("min", "value", "mn"), Agg("max", "value", "mx"),
+            Agg("lag", "value", "l1", param=1)]
+
+    def job():
+        return window_agg(t, spec, aggs,
+                          keep_cols=["conv_id", "turn_idx"],
+                          tier="kernel").count()
+
+    job()  # warm-up
+    times = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        rows = job()
+        times.append(time.monotonic() - t0)
+    best = min(times)
+    spark.stop()
+    return {"cores": cores, "turns": n, "sec": round(best, 2),
+            "turns_per_sec": round(n / best, 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    ensure_data()
+    if args.cores:
+        print(json.dumps(run_level(args.cores)))
+        return
+
+    levels = {}
+    for cores in (4, 8, 16, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--cores", str(cores)],
+            capture_output=True, text=True, check=True,
+        )
+        levels[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    def eff(n, n4):
+        return round(
+            (levels[n4]["turns_per_sec"] / levels[n]["turns_per_sec"]) / 4.0,
+            3)
+
+    result = {
+        "metric": "kernel window-agg scaling at N vs 4N cores",
+        "levels": levels,
+        "scaling_efficiency": {"4->16": eff(4, 16), "8->32": eff(8, 32)},
+        "turns": levels[32]["turns"],
+        "note": ("single box: the 8->32 pairing shares one memory bus; "
+                 "4->16 is the cleaner N->4N analog of adding machines"),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Checkpoint-resumable pipeline runner with per-partition lineage.
+
+Prior art: the reference's node-by-node HDFS-cached slow-run mode
+(SparkPlanner.slowRunWithHDFSCache, /root/reference/java/openmldb-batch/
+src/main/scala/com/_4paradigm/openmldb/batch/SparkPlanner.scala:289-325),
+generalized into a DAG of named stages:
+
+- Each stage's output is written once to ``<ckpt>/<stage>/data.parquet``
+  with a ``manifest.json`` recording: a fingerprint of (stage code
+  version + upstream fingerprints + params), row count, wall time,
+  per-partition row counts (lineage — which shuffle partition produced
+  which rows), and the Spark conf that produced it.
+- On re-run, a stage whose fingerprint matches is loaded from parquet
+  instead of recomputed; editing a stage (or any upstream) invalidates
+  exactly its downstream cone. This is job-step resume on top of
+  Spark's task-level retry. Fingerprints are definitional (code version
+  + params + upstream fingerprints), so stages must be deterministic:
+  a deleted checkpoint recomputes to identical content and downstream
+  checkpoints stay valid.
+- ``metrics()`` exposes the run ledger for monitoring.
+
+At cluster scale the checkpoint dir is an HDFS/S3/Iceberg path; the
+parquet round-trip also truncates lineage (shorter DAGs → smaller task
+closures, faster scheduling).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+
+def _fingerprint(*parts: str) -> str:
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(p.encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[..., DataFrame]         # fn(spark, *dep_dfs) -> DataFrame
+    deps: list[str] = field(default_factory=list)
+    version: str = "1"                   # bump to force recompute
+    params: str = ""                     # stringified params in fingerprint
+
+
+class CheckpointedPipeline:
+    def __init__(self, spark: SparkSession, ckpt_dir: str):
+        self.spark = spark
+        self.ckpt_dir = ckpt_dir
+        self.stages: dict[str, Stage] = {}
+        self._results: dict[str, DataFrame] = {}
+        self._fps: dict[str, str] = {}
+        self.ledger: list[dict] = []
+
+    def stage(self, name: str, fn: Callable[..., DataFrame],
+              deps: list[str] | None = None, version: str = "1",
+              params: str = "") -> None:
+        self.stages[name] = Stage(name, fn, deps or [], version, params)
+
+    # -- internals ---------------------------------------------------------
+    def _paths(self, name: str) -> tuple[str, str]:
+        d = os.path.join(self.ckpt_dir, name)
+        return os.path.join(d, "data.parquet"), os.path.join(d, "manifest.json")
+
+    def _stage_fp(self, st: Stage) -> str:
+        dep_fps = [self._fps[d] for d in st.deps]
+        return _fingerprint(st.name, st.version, st.params, *dep_fps)
+
+    def _load_manifest(self, name: str) -> dict | None:
+        _, mpath = self._paths(name)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                return json.load(f)
+        return None
+
+    def _partition_lineage(self, df: DataFrame) -> list[dict]:
+        rows = (
+            df.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .orderBy("pid")
+            .collect()
+        )
+        return [{"partition": int(r.pid), "rows": int(r.rows)} for r in rows]
+
+    # -- execution ---------------------------------------------------------
+    def run(self, target: str) -> DataFrame:
+        st = self.stages[target]
+        for d in st.deps:
+            self.run(d)
+        if target in self._results:
+            return self._results[target]
+
+        fp = self._stage_fp(st)
+        self._fps[target] = fp
+        dpath, mpath = self._paths(target)
+        man = self._load_manifest(target)
+
+        if man is not None and man.get("fingerprint") == fp:
+            df = self.spark.read.parquet(dpath)
+            self._results[target] = df
+            self.ledger.append({
+                "stage": target, "fingerprint": fp, "action": "resumed",
+                "rows": man["rows"], "duration_sec": 0.0,
+            })
+            return df
+
+        t0 = time.monotonic()
+        out = st.fn(self.spark, *[self._results[d] for d in st.deps])
+        os.makedirs(os.path.dirname(dpath), exist_ok=True)
+        out.write.mode("overwrite").parquet(dpath)
+        df = self.spark.read.parquet(dpath)
+        dur = time.monotonic() - t0
+
+        lineage = self._partition_lineage(df)
+        n_rows = sum(p["rows"] for p in lineage)
+        manifest = {
+            "stage": target,
+            "fingerprint": fp,
+            "deps": {d: self._fps[d] for d in st.deps},
+            "rows": n_rows,
+            "n_partitions": len(lineage),
+            "partitions": lineage,
+            "duration_sec": round(dur, 3),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "spark_conf": {
+                k: v for k, v in self.spark.sparkContext.getConf().getAll()
+                if k.startswith("spark.sql") or k in
+                ("spark.master", "spark.app.name")
+            },
+        }
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._results[target] = df
+        self.ledger.append({
+            "stage": target, "fingerprint": fp, "action": "computed",
+            "rows": n_rows, "duration_sec": round(dur, 3),
+        })
+        return df
+
+    def metrics(self) -> list[dict]:
+        return list(self.ledger)

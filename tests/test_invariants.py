@@ -1,0 +1,128 @@
+"""North-rule invariants (BASELINE.json):
+
+1. Zero temporal leakage: recomputing any feature with all rows
+   ts' > ts(anchor) removed leaves the anchor's feature vector unchanged.
+2. Per-turn text equality under stable (ts, turn_idx) ordering across
+   shuffles/partitionings.
+3. Skew chunking (bucket_ms) produces identical results to the unchunked
+   kernel — the expand-and-flag replication is semantics-preserving.
+4. allclose float parity between kernel tier and Spark builtin tier.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from openmldb_spark.plans.specs import Agg, WindowSpec
+from openmldb_spark.operators.window import window_agg
+from openmldb_spark.transcripts import transcripts_df
+
+
+SPEC = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
+                  frame="rows_range", preceding="30m",
+                  tiebreak=("turn_idx",))
+AGGS = [Agg("sum", "value", "sum_v"), Agg("count", "value", "cnt_v"),
+        Agg("min", "value", "min_v"), Agg("lag", "value", "l1", param=1)]
+KEY = ["conv_id", "turn_idx"]
+
+
+def _fv(df):
+    return {
+        (r.conv_id, r.turn_idx): (r.sum_v, r.cnt_v, r.min_v, r.l1)
+        for r in df.collect()
+    }
+
+
+def test_zero_temporal_leakage(spark, sf_dir):
+    """Ablation: drop all rows after a cutoff; features at/before the
+    cutoff must be bit-identical (no feature reads the future)."""
+    t = transcripts_df(spark, sf_dir)
+    full = _fv(window_agg(t, SPEC, AGGS, keep_cols=KEY, tier="kernel"))
+
+    cutoff = t.approxQuantile("ts_ms", [0.5], 0.0)[0]
+    trunc = t.where(F.col("ts_ms") <= cutoff)
+    ablated = _fv(window_agg(trunc, SPEC, AGGS, keep_cols=KEY, tier="kernel"))
+
+    assert len(ablated) > 0
+    for k, v in ablated.items():
+        fv = full[k]
+        for a, b in zip(v, fv):
+            if a is None or (isinstance(a, float) and pd.isna(a)):
+                assert b is None or (isinstance(b, float) and pd.isna(b)), k
+            else:
+                assert a == b, (k, v, fv)
+
+
+def test_stable_turn_ordering_text_equality(spark, sf_dir):
+    """Per-turn text equality under stable ordering, independent of
+    physical partitioning (input_hint invariant)."""
+    t = transcripts_df(spark, sf_dir)
+    a = t.orderBy("conv_id", "ts_ms", "turn_idx").select("conv_id", "turn_idx", "text").collect()
+    b = (
+        t.repartition(17, "conv_id")
+        .sortWithinPartitions("conv_id", "ts_ms", "turn_idx")
+        .orderBy("conv_id", "ts_ms", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    assert a == b
+
+
+def test_bucket_ms_chunking_equals_unchunked(spark, sf_dir):
+    """Time-bucket chunking with history replication (the skew path,
+    SkewDataFrameUtils.genUnionDf analog) must be a pure physical
+    rewrite."""
+    t = transcripts_df(spark, sf_dir)
+    base = _fv(window_agg(t, SPEC, AGGS, keep_cols=KEY, tier="kernel"))
+    chunked = _fv(window_agg(t, SPEC, AGGS, keep_cols=KEY, tier="kernel",
+                             bucket_ms=3_600_000))
+    assert set(base) == set(chunked)
+    for k in base:
+        for a, b in zip(base[k], chunked[k]):
+            if a is None or (isinstance(a, float) and pd.isna(a)):
+                assert b is None or (isinstance(b, float) and pd.isna(b)), k
+            elif isinstance(a, float):
+                # prefix sums restart per chunk → last-ulp differences
+                assert abs(a - b) <= 1e-9 * (1 + abs(a)), (k, base[k], chunked[k])
+            else:
+                assert a == b, (k, base[k], chunked[k])
+
+
+def test_kernel_vs_builtin_allclose(spark, sf_dir):
+    """Differential: kernel tier vs pure-JVM builtin tier where semantics
+    coincide (the reference's own trick, TestWindowSkewOpt.scala:64-68)."""
+    t = transcripts_df(spark, sf_dir)
+    aggs = [Agg("sum", "value", "s"), Agg("count", "value", "c"),
+            Agg("avg", "value", "a"), Agg("min", "value", "mn"),
+            Agg("max", "value", "mx")]
+    k = window_agg(t, SPEC, aggs, keep_cols=KEY, tier="kernel").toPandas()
+    b = window_agg(t, SPEC, aggs, keep_cols=KEY, tier="builtin").toPandas()
+    k = k.sort_values(KEY).reset_index(drop=True)
+    b = b.sort_values(KEY).reset_index(drop=True)
+    assert len(k) == len(b)
+    for c in ["s", "c", "a", "mn", "mx"]:
+        np.testing.assert_allclose(
+            k[c].astype(float), b[c].astype(float), rtol=1e-9, atol=1e-12)
+
+
+def test_skewed_key_chunking(spark):
+    """One hot conversation (half of all rows) — chunked vs unchunked
+    equality under skew, and chunking yields more work units."""
+    n_hot, n_cold = 4000, 40
+    rows = (
+        [("hot", i, 1_000_000 + i * 700, float(i % 100)) for i in range(n_hot)]
+        + [(f"c{j}", i, 1_000_000 + i * 50_000, float(i))
+           for j in range(20) for i in range(n_cold)]
+    )
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts_ms", "value"])
+    spec = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
+                      frame="rows_range", preceding="60s",
+                      tiebreak=("turn_idx",))
+    aggs = [Agg("sum", "value", "s"), Agg("count", "value", "c")]
+    base = window_agg(df, spec, aggs, keep_cols=KEY, tier="kernel").toPandas()
+    chunked = window_agg(df, spec, aggs, keep_cols=KEY, tier="kernel",
+                         bucket_ms=120_000).toPandas()
+    base = base.sort_values(KEY).reset_index(drop=True)
+    chunked = chunked.sort_values(KEY).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, chunked)

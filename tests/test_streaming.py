@@ -1,0 +1,102 @@
+"""Streaming tier: file-source micro-batches → watermarked aggregates;
+differential check against the equivalent batch computation."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from openmldb_spark.transcripts import transcripts_df
+
+
+def _stream_source(spark, sf_dir, tmp_path):
+    """Write the transcript table as parquet chunks and open it as a
+    file-source stream (deterministic, no timing dependence)."""
+    src = str(tmp_path / "stream_src")
+    t = transcripts_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "ts", "value")
+    t.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src), t
+
+
+def _run_to_memory(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_window_counts_matches_batch(spark, sf_dir, tmp_path):
+    from openmldb_spark.streaming.stream import stream_window_counts
+    stream, batch = _stream_source(spark, sf_dir, tmp_path)
+    out = stream_window_counts(stream, window_dur="1 hour",
+                               watermark="0 seconds")
+    _run_to_memory(out, "win_counts", mode="complete")
+    got = {
+        (r.conv_id, r.win_start): (r.n_turns, round(r.sum_value, 6))
+        for r in spark.table("win_counts").collect()
+    }
+    exp_df = (
+        batch.groupBy("conv_id",
+                      F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    exp = {(r.conv_id, r.win.start): (r.n, round(r.s, 6)) for r in exp_df}
+    assert got == exp and len(got) > 0
+
+
+def test_stream_sessionize_matches_batch_sessions(spark, sf_dir, tmp_path):
+    from openmldb_spark.streaming.stream import stream_sessionize
+    from openmldb_spark.operators.sessionize import session_stats
+    from openmldb_spark.plans.specs import SessionizeSpec
+
+    stream, batch = _stream_source(spark, sf_dir, tmp_path)
+    out = stream_sessionize(stream, gap="5 minutes", watermark="0 seconds")
+    _run_to_memory(out, "sessions", mode="complete")
+    got = spark.table("sessions")
+
+    spec = SessionizeSpec(partition_by=["conv_id"], order_by="ts_ms",
+                          gap_ms="5m")
+    exp = session_stats(
+        transcripts_df(spark, sf_dir), spec, value_col="value")
+    # same number of sessions per conversation and same total turns
+    g = {r.conv_id: r.n for r in
+         got.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    e = {r.conv_id: r.n for r in
+         exp.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert g == e
+    assert (got.agg(F.sum("n_turns")).first()[0]
+            == exp.agg(F.sum("n_turns")).first()[0])
+
+
+def test_foreach_batch_runs_engine_ops(spark, sf_dir, tmp_path):
+    from openmldb_spark.streaming.stream import foreach_batch_features
+    from openmldb_spark.plans.specs import Agg, WindowSpec
+    from openmldb_spark.operators.window import window_agg
+
+    stream, batch = _stream_source(spark, sf_dir, tmp_path)
+    spec = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
+                      frame="rows_range", preceding="30m",
+                      tiebreak=("turn_idx",))
+
+    dest = str(tmp_path / "incr_features")
+
+    def op(df):
+        work = df.withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+        return window_agg(work, spec, [Agg("sum", "value", "s")],
+                          keep_cols=["conv_id", "turn_idx"], tier="kernel")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(dest)
+
+    q = foreach_batch_features(stream, op, sink).trigger(
+        availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(dest)
+    assert out.count() == batch.count()
+    assert set(out.columns) == {"conv_id", "turn_idx", "s"}
