@@ -59,7 +59,10 @@ def last_join(
 
     cond: Column | None = None
     for lc, rc in zip(left_on, right_on):
-        c = l[lc] == r[f"__r_{rc}"]
+        # null-safe: a NULL key matches NULL right keys (reference:
+        # cases/function/join/test_lastjoin_simple.yaml id 19 expects the
+        # null-keyed left row to pick up the null-keyed right row)
+        c = l[lc].eqNullSafe(r[f"__r_{rc}"])
         cond = c if cond is None else (cond & c)
     if spec.condition:
         cond = cond & F.expr(spec.condition)

@@ -208,6 +208,10 @@ def _builtin_window(df: DataFrame, spec: WindowSpec, aggs: list[Agg],
             fn = {"sum": F.sum, "count": F.count, "avg": F.avg,
                   "min": F.min, "max": F.max}[base]
             e = fn(col).over(w)
+            if base == "sum":
+                # OpenMLDB sum: empty/all-null frame -> 0 (SumUdafDef
+                # const_init, default_udf_library.cc:106-120)
+                e = F.coalesce(e, F.lit(0))
             if base in ("sum", "min", "max") and isinstance(
                 df.schema[a.col].dataType, _INT_TYPES
             ):

@@ -66,6 +66,13 @@ def compute_frame_bounds(
     """
     end_delta = spec.end_delta
     at_current = end_delta == 0 and not spec.end_open
+    # OPEN on a rows-frame bound excludes that end's row: start capacity
+    # shrinks by 1, end exclusion grows by 1 (WINDOW_CLAUSE.md:118-139;
+    # case test_window_exclude_current_time.yaml id 3: 7 OPEN PRECEDING
+    # holds 7 rows, not 8)
+    rows_start_open = 1 if (spec.frame == "rows" and spec.start_open) else 0
+    rows_end_eff = end_delta + (
+        1 if (spec.frame == "rows" and spec.end_open) else 0)
 
     if at_current:
         if spec.exclude_current_time:
@@ -77,7 +84,7 @@ def compute_frame_bounds(
     else:
         extra = np.zeros(len(tsE), dtype=bool)
         if spec.frame == "rows":
-            hi = np.maximum(PE + selfE - end_delta, 0)
+            hi = np.maximum(PE + selfE - rows_end_eff, 0)
         else:
             side = "left" if spec.end_open else "right"
             hi = _searchsorted(ts_e, tsE - end_delta, side)
@@ -85,7 +92,8 @@ def compute_frame_bounds(
 
     extra_i = extra.astype(np.int64)
     if spec.frame == "rows":
-        lo = hi - (spec.start_delta + 1 - end_delta - extra_i)
+        lo = hi - (spec.start_delta + 1 - rows_start_open
+                   - rows_end_eff - extra_i)
     else:
         side = "right" if spec.start_open else "left"
         lo = _searchsorted(ts_e, tsE - spec.start_delta, side)
@@ -366,7 +374,11 @@ def group_window_features(
             cond = agg.cond if f.endswith("_where") else None
             s, c = agg_sum_count(col, cond)
             if f.startswith("sum"):
-                vals = np.where(c > 0, s, np.nan)
+                # OpenMLDB sum inits to 0 and outputs the accumulator:
+                # empty/all-null frame -> 0, never NULL (SumUdafDef
+                # const_init(T(0)), default_udf_library.cc:106-120;
+                # SumWhereDef :305-318; yaml test_window.yaml id 3)
+                vals = s
             elif f.startswith("avg"):
                 vals = np.where(c > 0, s / np.maximum(c, 1), np.nan)
             else:

@@ -12,7 +12,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-_TIME_RE = re.compile(r"^\s*(\d+)\s*(ms|s|m|h|d)?\s*$", re.IGNORECASE)
+_TIME_RE = re.compile(r"^\s*(-?\d+)\s*(ms|s|m|h|d)?\s*$", re.IGNORECASE)
 _UNIT_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000, None: 1}
 
 
@@ -106,16 +106,19 @@ class WindowSpec:
 
     @property
     def start_delta(self) -> int:
-        """Frame start offset: row count (rows) or ms (range frames)."""
+        """Frame start offset: row count (rows) or ms (range frames).
+
+        Negative offsets (FOLLOWING-ish bounds) clamp to 0 — frames are
+        history-only (sql_node.h:1242-1288)."""
         if self.frame == "rows":
-            return int(self.preceding)
-        return parse_time_ms(self.preceding)
+            return max(0, int(self.preceding))
+        return max(0, parse_time_ms(self.preceding))
 
     @property
     def end_delta(self) -> int:
         if self.frame == "rows":
-            return int(self.end_offset)
-        return parse_time_ms(self.end_offset)
+            return max(0, int(self.end_offset))
+        return max(0, parse_time_ms(self.end_offset))
 
 
 @dataclass(frozen=True)

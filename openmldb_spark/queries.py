@@ -203,12 +203,14 @@ def q_window_end_offset_open(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WINDOW_END_OFFSET_OPEN = transcripts_sql(f"""
 SELECT t.conv_id, t.turn_idx,
-       ROUND(SUM(CASE WHEN h.ts_ms <= t.ts_ms - {MIN_10} THEN h.value END), 3)
-           AS sum_mid,
+       ROUND(COALESCE(
+           SUM(CASE WHEN h.ts_ms <= t.ts_ms - {MIN_10} THEN h.value END),
+           0), 3) AS sum_mid,
        COUNT(CASE WHEN h.ts_ms <= t.ts_ms - {MIN_10} THEN h.value END)
            AS cnt_mid,
-       ROUND(SUM(CASE WHEN h.ts_ms > t.ts_ms - {MIN_30} THEN h.value END), 3)
-           AS sum_open,
+       ROUND(COALESCE(
+           SUM(CASE WHEN h.ts_ms > t.ts_ms - {MIN_30} THEN h.value END),
+           0), 3) AS sum_open,
        COUNT(CASE WHEN h.ts_ms > t.ts_ms - {MIN_30} THEN h.value END)
            AS cnt_open
 FROM transcripts t LEFT JOIN transcripts h

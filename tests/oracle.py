@@ -37,9 +37,10 @@ def frame_rows(rows, i, spec):
         if elig(i):
             buf = buf + [i]
 
-    # apply end bound
+    # apply end bound (OPEN on a rows bound excludes that end's row)
     if not at_current:
         if spec.frame == "rows":
+            end_delta = end_delta + (1 if spec.end_open else 0)
             buf = buf[: len(buf) - end_delta] if end_delta <= len(buf) else []
         else:
             if spec.end_open:
@@ -51,8 +52,9 @@ def frame_rows(rows, i, spec):
     # apply start bound
     if spec.frame == "rows":
         total = spec.start_delta + 1 - (1 if anchor is not None else 0) - (
-            spec.end_delta if not at_current else 0
-        )
+            (spec.end_delta + (1 if spec.end_open else 0))
+            if not at_current else 0
+        ) - (1 if spec.start_open else 0)
         buf = buf[-total:] if total > 0 else []
     else:
         if spec.start_open:
@@ -94,7 +96,8 @@ def oracle_agg(rows, i, spec, func, col, param=None, cond=None, cate=None):
     nn = [v for v in vals if v is not None and not (
         isinstance(v, float) and math.isnan(v))]
     if func in ("sum", "sum_where"):
-        return sum(nn) if nn else None
+        # OpenMLDB sum: const_init(0), empty/all-null frame -> 0
+        return sum(nn) if nn else 0
     if func in ("count", "count_where"):
         return len(nn)
     if func in ("avg", "avg_where"):

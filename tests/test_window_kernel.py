@@ -249,7 +249,8 @@ def test_where_aggs():
     out = run(rows, spec, [Agg("sum_where", "v", "sw", cond="pos"),
                            Agg("count_where", "v", "cw", cond="pos"),
                            Agg("min_where", "v", "mw", cond="pos")])
-    assert [None if pd.isna(x) else x for x in out["sw"]] == [None, 2, 2, 6, 6]
+    # sum_where inits 0: no-match frame -> 0 (SumWhereDef :305-318)
+    assert [None if pd.isna(x) else x for x in out["sw"]] == [0, 2, 2, 6, 6]
     assert list(out["cw"]) == [0, 1, 1, 2, 2]
     assert [None if pd.isna(x) else x for x in out["mw"]] == [None, 2, 2, 2, 2]
 

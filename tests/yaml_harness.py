@@ -1,0 +1,342 @@
+"""Harness that runs the reference's own YAML case corpus
+(/root/reference/cases/function/window/*.yaml — PUBLIC test data, the
+same corpus all three reference harnesses share, SURVEY.md §5) against
+our window kernel.
+
+A mini-compiler for the narrow SQL shape those cases use:
+
+    SELECT <col|agg(args) OVER w1 AS alias>... FROM {0}
+    WINDOW w1 AS ([UNION {1},{2}] PARTITION BY {t}.k[, ...]
+                  ORDER BY {t}.ts
+                  ROWS|ROWS_RANGE BETWEEN <bound> AND <bound>
+                  [MAXSIZE n] [EXCLUDE CURRENT_TIME]
+                  [INSTANCE_NOT_IN_WINDOW])
+
+Anything outside the shape (multiple windows, expressions in the
+projection, sub-selects in UNION, unsupported aggs) is reported as
+SKIPPED — the test asserts a minimum supported-and-passing count so
+coverage can only ratchet up.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from datetime import date, datetime
+
+import numpy as np
+import pandas as pd
+import yaml
+
+from openmldb_spark.plans.specs import Agg, KERNEL_AGG_FUNCS, WindowSpec
+from openmldb_spark.operators.window_kernel import (EXPANDED, ORD, PRIMARY,
+                                                    group_window_features)
+
+CASES_DIR = "/root/reference/cases/function/window"
+
+_SQL_RE = re.compile(
+    r"^\s*SELECT\s+(?P<proj>.*?)\s+FROM\s+\{0\}\s+WINDOW\s+(?P<wins>.*?)\s*"
+    r";?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WINDEF_RE = re.compile(r"(\w+)\s+AS\s*\(([^()]*)\)", re.DOTALL)
+_WIN_RE = re.compile(
+    r"^\s*(?:UNION\s+(?P<union>[^P]*?)\s+)?"
+    r"PARTITION\s+BY\s+(?P<part>.*?)\s+"
+    r"ORDER\s+BY\s+(?P<order>.*?)\s+"
+    r"(?P<frame>ROWS_RANGE|ROWS)\s+BETWEEN\s+"
+    r"(?P<start>.*?)\s+AND\s+(?P<end>CURRENT\s+ROW|.*?PRECEDING)"
+    r"(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AGG_RE = re.compile(
+    r"^(?P<fn>\w+)\s*\(\s*(?P<args>[^)]*)\)\s+OVER\s+(?P<win>\w+)\s+"
+    r"(?:AS\s+)?(?P<alias>\w+)$",
+    re.IGNORECASE,
+)
+
+
+class Unsupported(Exception):
+    pass
+
+
+def _strip_t(expr: str) -> str:
+    return re.sub(r"\{\d+\}\.", "", expr).strip()
+
+
+def _parse_bound(txt: str, frame: str):
+    """→ (delta:int, open:bool); CURRENT ROW → (0, False)."""
+    txt = txt.strip()
+    if re.fullmatch(r"CURRENT\s+ROW", txt, re.IGNORECASE):
+        return 0, False
+    m = re.fullmatch(r"(?P<v>\S+)\s+(?P<open>OPEN\s+)?PRECEDING", txt,
+                     re.IGNORECASE)
+    if not m:
+        raise Unsupported(f"bound {txt!r}")
+    v = m.group("v")
+    is_open = bool(m.group("open"))
+    if v.upper() == "UNBOUNDED":
+        return (10**15, False)
+    from openmldb_spark.plans.specs import parse_time_ms
+    if frame == "rows":
+        return int(v), is_open
+    return parse_time_ms(v), is_open
+
+
+_TYPES = {
+    "int": "int32", "int32": "int32", "smallint": "int16", "int16": "int16",
+    "bigint": "int64", "int64": "int64", "float": "float32",
+    "double": "float64", "string": "object", "bool": "bool",
+    "timestamp": "int64", "date": "object",
+}
+
+
+def _build_pdf(inp: dict) -> tuple[pd.DataFrame, dict]:
+    cols = [c.rsplit(" ", 1) for c in inp["columns"]]
+    names = [c[0].strip() for c in cols]
+    types = {c[0].strip(): c[1].strip().lower() for c in cols}
+    rows = inp.get("rows")
+    if rows is None:
+        raise Unsupported("no literal rows")
+    pdf = pd.DataFrame(rows, columns=names)
+    for n in names:
+        t = types[n]
+        if t not in _TYPES:
+            raise Unsupported(f"type {t}")
+        if t in ("int", "int32", "smallint", "int16", "bigint", "int64",
+                 "timestamp"):
+            pdf[n] = pd.to_numeric(pdf[n], errors="raise").astype("float64")
+        elif t in ("float", "double"):
+            pdf[n] = pd.to_numeric(pdf[n]).astype("float64")
+    return pdf, types
+
+
+def _ord_values(pdf: pd.DataFrame, col: str, typ: str) -> pd.Series:
+    if typ == "date":
+        return pd.Series([
+            None if v is None else
+            (date.fromisoformat(v).toordinal() if isinstance(v, str)
+             else pd.Timestamp(v).toordinal())
+            for v in pdf[col]
+        ], dtype="float64")
+    return pd.to_numeric(pdf[col], errors="coerce")
+
+
+SUPPORTED_AGGS = KERNEL_AGG_FUNCS
+
+
+def _compile_window(body: str):
+    """One window body → (WindowSpec, union_idx)."""
+    wm = _WIN_RE.match(body.strip())
+    if not wm:
+        raise Unsupported("window clause shape")
+    if wm.group("union") and "(" in (wm.group("union") or ""):
+        raise Unsupported("union subquery")
+
+    frame = wm.group("frame").lower()
+    frame = "rows_range" if frame == "rows_range" else "rows"
+    start, start_open = _parse_bound(wm.group("start"), frame)
+    end, end_open = _parse_bound(wm.group("end"), frame)
+
+    tail = wm.group("tail") or ""
+    max_size = 0
+    mm = re.search(r"MAXSIZE\s+(\d+)", tail, re.IGNORECASE)
+    if mm:
+        max_size = int(mm.group(1))
+        tail = tail.replace(mm.group(0), "")
+    exclude_ct = bool(re.search(r"EXCLUDE\s+CURRENT_TIME", tail,
+                                re.IGNORECASE))
+    iniw = bool(re.search(r"INSTANCE_NOT_IN_WINDOW", tail, re.IGNORECASE))
+    tail = re.sub(r"EXCLUDE\s+CURRENT_TIME", "", tail, flags=re.IGNORECASE)
+    tail = re.sub(r"INSTANCE_NOT_IN_WINDOW", "", tail, flags=re.IGNORECASE)
+    leftover = re.sub(r"[\s,]+", "", tail)
+    if leftover:
+        raise Unsupported(f"window tail {tail!r}")
+
+    part_cols = [_strip_t(p) for p in wm.group("part").split(",")]
+    order_cols = [_strip_t(o) for o in wm.group("order").split(",")]
+    if len(order_cols) != 1:
+        raise Unsupported("multiple order keys")
+
+    spec = WindowSpec(
+        partition_by=part_cols, order_by=order_cols[0], frame=frame,
+        preceding=start, end_offset=end, start_open=start_open,
+        end_open=end_open, max_size=max_size,
+        exclude_current_time=exclude_ct, instance_not_in_window=iniw,
+        tiebreak=(),
+    )
+    union_idx = []
+    if wm.group("union"):
+        for tok in wm.group("union").split(","):
+            t = tok.strip()
+            um = re.fullmatch(r"\{(\d+)\}", t)
+            if not um:
+                raise Unsupported(f"union target {t!r}")
+            union_idx.append(int(um.group(1)))
+    return spec, union_idx
+
+
+def compile_case(case: dict):
+    """→ (proj_seq, windows) where proj_seq = [("col", name) |
+    ("agg", win_name, Agg)] in output order and windows =
+    {name: (spec, union_idx, [Agg,...])}."""
+    sql = case["sql"].strip().replace("\n", " ")
+    if " OVER " not in sql and " over " not in sql:
+        raise Unsupported("no window agg")
+    m = _SQL_RE.match(sql)
+    if not m:
+        raise Unsupported("sql shape")
+    wins_txt = m.group("wins")
+    windows: dict[str, tuple] = {}
+    consumed = wins_txt
+    for name, body in _WINDEF_RE.findall(wins_txt):
+        spec, union_idx = _compile_window(body)
+        windows[name] = (spec, union_idx, [])
+        consumed = consumed.replace(f"({body})", "", 1).replace(name, "", 1)
+    if re.sub(r"[\sASas,]+", "", consumed):
+        raise Unsupported(f"window defs leftover {consumed!r}")
+    if not windows:
+        raise Unsupported("no windows parsed")
+
+    proj_seq = []
+    for item in _split_proj(m.group("proj")):
+        item = item.strip()
+        am = _AGG_RE.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            wname = am.group("win")
+            if wname not in windows:
+                raise Unsupported(f"unknown window {wname}")
+            args = [a.strip() for a in am.group("args").split(",")]
+            col = _strip_t(args[0])
+            param = None
+            if fn in ("lag", "at") and len(args) > 1:
+                param = int(args[1])
+            elif len(args) > 1:
+                raise Unsupported(f"agg args {item!r}")
+            if fn not in SUPPORTED_AGGS:
+                raise Unsupported(f"agg {fn}")
+            agg = Agg(fn, col, am.group("alias"), param=param)
+            windows[wname][2].append(agg)
+            proj_seq.append(("agg", wname, agg))
+        else:
+            c = _strip_t(re.sub(r"\s+as\s+\w+$", "", item,
+                                flags=re.IGNORECASE))
+            if not re.fullmatch(r"\w+", c):
+                raise Unsupported(f"projection {item!r}")
+            proj_seq.append(("col", c))
+    if not any(w[2] for w in windows.values()):
+        raise Unsupported("no aggs")
+    return proj_seq, windows
+
+
+def _split_proj(proj: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in proj:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+_RID = "__rid"
+
+
+def _run_window(pdf0, types0, inputs, spec, union_idx, aggs) -> pd.DataFrame:
+    for a in aggs:
+        if a.func in ("sum", "avg", "min", "max", "top") and \
+                types0.get(a.col) in ("string", "date"):
+            raise Unsupported(f"{a.func} over {types0.get(a.col)}")
+
+    frames = [pdf0]
+    for i in union_idx:
+        up, _ = _build_pdf(inputs[i])
+        up[_RID] = -1
+        frames.append(up)
+
+    work_frames = []
+    for j, f in enumerate(frames):
+        w = f.copy()
+        w[ORD] = _ord_values(w, spec.order_by, types0.get(spec.order_by, ""))
+        w[PRIMARY] = 1 if j == 0 else 0
+        w[EXPANDED] = 0
+        work_frames.append(w)
+    work = pd.concat(work_frames, ignore_index=True)
+    # null/negative order keys dropped (WindowAggPlan.isValidOrder:783-790)
+    work = work[work[ORD].notna() & (work[ORD] >= 0)].copy()
+    work[ORD] = work[ORD].astype("int64")
+
+    outs = []
+    for _, grp in work.groupby(list(spec.partition_by), dropna=False,
+                               sort=False):
+        outs.append(group_window_features(
+            grp.reset_index(drop=True), spec, aggs, [_RID]))
+    if not outs:
+        return pd.DataFrame(columns=[_RID] + [a.alias for a in aggs])
+    return pd.concat(outs, ignore_index=True)
+
+
+def run_case(case: dict) -> pd.DataFrame:
+    proj_seq, windows = compile_case(case)
+    inputs = case["inputs"]
+    pdf0, types0 = _build_pdf(inputs[0])
+    pdf0 = pdf0.copy()
+    pdf0[_RID] = np.arange(len(pdf0))
+
+    merged = pdf0[[_RID] + [e[1] for e in proj_seq if e[0] == "col"]].copy()
+    for wname, (spec, union_idx, aggs) in windows.items():
+        if not aggs:
+            continue
+        wout = _run_window(pdf0, types0, inputs, spec, union_idx, aggs)
+        merged = merged.merge(wout, on=_RID, how="inner")
+
+    cols = []
+    for entry in proj_seq:
+        cols.append(entry[1] if entry[0] == "col" else entry[2].alias)
+    return merged[cols]
+
+
+def check_case(case: dict) -> None:
+    got = run_case(case)
+    exp = case["expect"]
+    if "columns" not in exp or "rows" not in exp:
+        raise Unsupported("no literal expect")
+    exp_cols = [c.rsplit(" ", 1)[0].strip() for c in exp["columns"]]
+    exp_types = [c.rsplit(" ", 1)[1].strip().lower() for c in exp["columns"]]
+    order = exp.get("order")
+    erows = exp["rows"]
+    if order:
+        oi = exp_cols.index(order)
+        erows = sorted(erows, key=lambda r: (r[oi] is None, r[oi]))
+        got = got.sort_values(order, kind="stable")
+    assert list(got.columns) == exp_cols, (list(got.columns), exp_cols)
+    assert len(got) == len(erows), (len(got), len(erows))
+    for (_, grow), erow in zip(got.iterrows(), erows):
+        for cname, ctype, ev in zip(exp_cols, exp_types, erow):
+            gv = grow[cname]
+            if ev is None:
+                assert gv is None or (isinstance(gv, float) and math.isnan(gv)
+                                      ) or gv is pd.NA, (cname, gv, "expected null")
+                continue
+            if ctype in ("float", "double"):
+                assert gv is not None and not pd.isna(gv), (cname, erow)
+                assert math.isclose(float(gv), float(ev), rel_tol=1e-5,
+                                    abs_tol=1e-5), (cname, gv, ev)
+            elif ctype in ("int", "bigint", "smallint", "timestamp"):
+                assert gv is not None and not pd.isna(gv), (cname, erow)
+                assert int(round(float(gv))) == int(ev), (cname, gv, ev)
+            else:
+                assert str(gv) == str(ev), (cname, gv, ev)
+
+
+def load_cases(fname: str) -> list[dict]:
+    with open(f"{CASES_DIR}/{fname}") as f:
+        doc = yaml.safe_load(f)
+    return doc.get("cases", [])
