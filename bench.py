@@ -32,15 +32,25 @@ HEADLINE = [
     "window_rows",
     "window_builtin_tier",
     "window_maxsize",
+    "window_exclude_current_time",
     "window_union",
+    "window_split",
     "last_join",
     "asof_join",
     "sessionize",
     "session_stats",
+    "lag_lead",
     "topn_frequency_window",
     "count_cate_window",
     "groupby_agg",
     "join_agg",
+    "scalar_funcs",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "text_stats",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "simhash_near_pairs",
 ]
 
 

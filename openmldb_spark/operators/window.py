@@ -55,7 +55,8 @@ def _agg_field(agg: Agg, in_field: T.StructField | None) -> T.StructField:
         return T.StructField(agg.alias, T.LongType())
     if f in ("avg", "avg_where", "top1_ratio"):
         return T.StructField(agg.alias, T.DoubleType())
-    if f in ("top", "top_n_frequency") or "_cate" in f:
+    if f in ("top", "top_n_frequency") or "_cate" in f \
+            or f.startswith("window_split"):
         return T.StructField(agg.alias, T.StringType())
     if f in ("lag", "at", "first_value"):
         assert in_field is not None

@@ -277,6 +277,59 @@ def cate_agg_strings(pdf, cate_col, val_col, cond, base, idx_e, lo, hi, E,
     return out
 
 
+def _split_parts(s: str, f: str, delim: str, kv_delim: str | None) -> list:
+    """Replicates FZStringOpsDef split rules: single-char delimiters use
+    the scan loop (trailing delim yields ''), multi-char use regex; the
+    by_key/by_value variants keep only parts containing the kv delim."""
+    import re as _re
+
+    if len(delim) == 1:
+        parts = s.split(delim)
+    else:
+        parts = _re.split(delim, s)
+    if f == "window_split":
+        return parts
+    out = []
+    for p in parts:
+        if kv_delim is None:
+            continue
+        if len(kv_delim) == 1:
+            i = p.find(kv_delim)
+            if i >= 0:
+                out.append(p[:i] if f == "window_split_by_key" else p[i + 1:])
+        else:
+            sub = _re.split(kv_delim, p)
+            if len(sub) >= 2:
+                out.append(sub[0] if f == "window_split_by_key" else sub[1])
+    return out
+
+
+def window_split_strings(pdf, col, f, delim, kv_delim, sep,
+                         idx_e, lo, hi, E, anchored) -> list:
+    raw = pdf[col].to_numpy(object)
+    # pre-split each eligible row once
+    cache: dict[int, list] = {}
+
+    def parts_of(pos: int) -> list:
+        if pos not in cache:
+            v = raw[pos]
+            cache[pos] = [] if v is None or (isinstance(v, float) and
+                                             np.isnan(v)) else \
+                _split_parts(str(v), f, delim, kv_delim)
+        return cache[pos]
+
+    res = []
+    for j in range(len(E)):
+        acc: list[str] = []
+        # newest first: anchor, then slice reversed
+        if anchored[j]:
+            acc.extend(parts_of(E[j]))
+        for pos in idx_e[lo[j]:hi[j]][::-1]:
+            acc.extend(parts_of(pos))
+        res.append(sep.join(acc))
+    return res
+
+
 def _fmt_num(v) -> str:
     """Format a value for csv-emitting UDAFs (top, *_cate)."""
     if isinstance(v, (float, np.floating)):
@@ -452,6 +505,15 @@ def group_window_features(
                     fr = fr[np.argpartition(fr, len(fr) - k)[len(fr) - k:]]
                 res.append(",".join(_fmt_num(v) for v in np.sort(fr)[::-1]))
             out[alias] = res
+        elif f in ("window_split", "window_split_by_key",
+                   "window_split_by_value"):
+            # fz_window_split family + fz_join (feature_zero_def.cc:
+            # FZStringOpsDef::UpdateSplit/UpdateSplitByKey/UpdateSplitByValue,
+            # :181-280): per frame row (newest first — the HistoryWindow
+            # iterator order), split and append parts; emit joined string.
+            out[alias] = window_split_strings(
+                pdf, col, f, agg.delim or ",", agg.kv_delim, agg.sep,
+                idx_e, lo, hi, E, anchored)
         elif f.endswith("_cate") or f.endswith("_cate_where"):
             base = f.split("_cate")[0]
             cond = agg.cond if f.endswith("_where") else None

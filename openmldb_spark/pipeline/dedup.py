@@ -84,7 +84,12 @@ def minhash_lsh_pairs(
     restricted to band-bucket collisions. Shuffles: one on band hash
     (candidate generation), one on id for the verify join."""
     n_hashes = bands * rows_per_band
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # signatures feed three branches (banding + both verify sides):
+    # persist AND materialize eagerly — inside one job the branches race
+    # and each recomputes the un-landed cache blocks (measured 3x cost)
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes,
+                              shingle_k).persist()
+    sigs.count()
 
     band_structs = [
         F.struct(
@@ -174,18 +179,29 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     @pandas_udf(T.LongType())
     def _simhash(tokens: pd.Series) -> pd.Series:
+        # hash each distinct token once per Arrow batch, then reduce
+        # per-doc with matrix ops
+        bit_cache: dict[str, np.ndarray] = {}
+
+        def bits_of(tok: str) -> np.ndarray:
+            b = bit_cache.get(tok)
+            if b is None:
+                digest = hashlib.blake2b(tok.encode(),
+                                         digest_size=8).digest()
+                b = np.unpackbits(
+                    np.frombuffer(digest, dtype=np.uint8)
+                ).astype(np.int64) * 2 - 1   # ±1 per bit
+                bit_cache[tok] = b
+            return b
+
         out = np.zeros(len(tokens), dtype=np.int64)
         for i, toks in enumerate(tokens):
             if toks is None or len(toks) == 0:
                 continue
-            acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
             vals, counts = np.unique(np.asarray(toks, dtype=object),
                                      return_counts=True)
-            for tok, cnt in zip(vals, counts):
-                digest = hashlib.blake2b(str(tok).encode(),
-                                         digest_size=8).digest()
-                bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
-                acc += np.where(bits == 1, cnt, -cnt)
+            M = np.stack([bits_of(str(t)) for t in vals])
+            acc = counts @ M
             sig = int("".join("1" if v > 0 else "0" for v in acc), 2)
             out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out)
@@ -208,7 +224,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     n_chunks = min(32, max(2, max_hamming + 1))
     bounds = [(i * _SIMHASH_BITS // n_chunks,
                (i + 1) * _SIMHASH_BITS // n_chunks) for i in range(n_chunks)]
-    sigs = simhash(df, text_col, id_col)
+    # both self-join sides reuse the signatures: compute the UDF once
+    sigs = simhash(df, text_col, id_col).persist()
+    sigs.count()
     chunks = sigs.select(
         id_col, "simhash",
         F.explode(F.array(*[

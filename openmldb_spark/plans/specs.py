@@ -39,6 +39,7 @@ KERNEL_AGG_FUNCS = {
     "sum_cate", "count_cate", "avg_cate", "min_cate", "max_cate",
     "sum_cate_where", "count_cate_where", "avg_cate_where",
     "min_cate_where", "max_cate_where",
+    "window_split", "window_split_by_key", "window_split_by_value",
 }
 
 # Subset expressible directly with pyspark.sql.Window (the built-in tier).
@@ -69,6 +70,9 @@ class Agg:
     param: int | None = None
     cond: str | None = None
     cate: str | None = None
+    delim: str | None = None      # window_split*: row delimiter
+    kv_delim: str | None = None   # window_split_by_{key,value}
+    sep: str = ","                # output join separator (fz_join)
 
     def __post_init__(self):
         if self.func not in KERNEL_AGG_FUNCS:

@@ -497,6 +497,27 @@ FROM cand WHERE rk <= 3 GROUP BY conv_id, turn_idx
 """)
 
 
+def q_window_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fz_join(fz_window_split(role, ','), ','): frame rows newest-first
+    (feature_zero_def.cc:181-230 + :636-650)."""
+    t = transcripts_df(spark, sf_dir)
+    spec = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
+                      frame="rows_range", preceding="30m",
+                      tiebreak=("turn_idx",))
+    aggs = [Agg("window_split", "role", "roles", delim=",")]
+    return window_agg(t, spec, aggs, keep_cols=KEY, tier="kernel")
+
+
+SQL_WINDOW_SPLIT = transcripts_sql(f"""
+SELECT t.conv_id, t.turn_idx,
+       STRING_AGG(h.role, ',' ORDER BY h.ts_ms DESC) AS roles
+FROM transcripts t JOIN transcripts h
+  ON h.conv_id = t.conv_id
+ AND h.ts_ms <= t.ts_ms AND h.ts_ms >= t.ts_ms - {MIN_30}
+GROUP BY t.conv_id, t.turn_idx
+""")
+
+
 def q_count_cate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count_cate(value, role): per-category counts within the frame,
     emitted as "k:v,..." sorted by key (*_by_category_def.cc)."""
@@ -883,7 +904,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness covered by golden unit tests."""
     from openmldb_spark.pipeline.dedup import simhash_near_pairs
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_pairs(d, "text", "doc_id", max_hamming=12)
+    return simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,6 +938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lag_lead": q_lag_lead,
     "topn_frequency_window": q_topn_frequency_window,
     "top_window": q_top_window,
+    "window_split": q_window_split,
     "count_cate_window": q_count_cate_window,
     "groupby_agg": q_groupby_agg,
     "join_agg": q_join_agg,
@@ -950,6 +972,7 @@ ORACLES: dict[str, str] = {
     "lag_lead": SQL_LAG_LEAD,
     "topn_frequency_window": SQL_TOPN_FREQUENCY,
     "top_window": SQL_TOP_WINDOW,
+    "window_split": SQL_WINDOW_SPLIT,
     "count_cate_window": SQL_COUNT_CATE,
     "groupby_agg": SQL_GROUPBY_AGG,
     "join_agg": SQL_JOIN_AGG,

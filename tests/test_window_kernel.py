@@ -317,3 +317,33 @@ def test_random_differential_vs_oracle(seed):
                 else:
                     assert a is not None and not pd.isna(a) and abs(a - b) < 1e-9, (
                         spec, f, g, exp)
+
+
+# ---- fz_window_split family (feature_zero_def.cc:181-280) ----
+def test_window_split_family():
+    rows = [
+        dict(id=1, __ord=1000, s="a:1,b:2"),
+        dict(id=2, __ord=2000, s="c:3"),
+        dict(id=3, __ord=3000, s=None),
+        dict(id=4, __ord=4000, s="d:4,x,e:5"),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=10)
+    out = run(rows, spec, [
+        Agg("window_split", "s", "ws", delim=","),
+        Agg("window_split_by_key", "s", "wk", delim=",", kv_delim=":"),
+        Agg("window_split_by_value", "s", "wv", delim=",", kv_delim=":"),
+    ])
+    # newest row first; parts within a row keep natural order
+    assert list(out["ws"]) == [
+        "a:1,b:2", "c:3,a:1,b:2", "c:3,a:1,b:2", "d:4,x,e:5,c:3,a:1,b:2"]
+    assert list(out["wk"]) == ["a,b", "c,a,b", "c,a,b", "d,e,c,a,b"]
+    assert list(out["wv"]) == ["1,2", "3,1,2", "3,1,2", "4,5,3,1,2"]
+
+
+def test_window_split_trailing_delim_and_empty():
+    rows = [dict(id=1, __ord=1000, s="a,"), dict(id=2, __ord=2000, s="")]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=10)
+    out = run(rows, spec, [Agg("window_split", "s", "ws", delim=",", sep="|")])
+    # trailing delimiter yields an empty part (UpdateSplit scan loop);
+    # empty string is one empty part
+    assert list(out["ws"]) == ["a|", "|a|"]
