@@ -84,6 +84,7 @@ def window_agg(
     union: list[DataFrame] | None = None,
     tier: str = "auto",
     bucket_ms: int | None = None,
+    salt_quantiles: int | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """SELECT keep_cols, agg... OVER (spec) FROM df [WINDOW UNION union]."""
@@ -125,6 +126,14 @@ def window_agg(
     work = work.withColumn(EXPANDED, F.lit(0).cast("int"))
 
     group_keys = list(keys)
+    if salt_quantiles and bucket_ms:
+        raise ValueError("choose one skew strategy: salt_quantiles or bucket_ms")
+    if salt_quantiles:
+        if spec.frame != "rows":
+            raise ValueError("salt_quantiles targets ROWS frames; use "
+                             "bucket_ms for time-bounded frames")
+        work = _salt_by_quantiles(work, keys, spec, salt_quantiles)
+        group_keys = keys + ["__salt"]
     if bucket_ms:
         if spec.frame == "rows":
             raise ValueError("bucket_ms chunking needs a time-bounded frame")
@@ -161,6 +170,65 @@ def window_agg(
 
     grouped = work.repartition(num_partitions, *group_keys) if num_partitions else work
     return grouped.groupBy(*group_keys).applyInPandas(kernel, schema=out_schema).select(*keep_cols, *[a.alias for a in aggs])
+
+
+def _salt_by_quantiles(work: DataFrame, keys: list[str], spec: WindowSpec,
+                       q: int) -> DataFrame:
+    """Percentile skew salting for ROWS frames — the reference's window
+    skew optimization re-expressed (SkewDataFrameUtils.genDistributionDf/
+    genAddColumnsDf/genUnionDf, utils/SkewDataFrameUtils.scala:26-143;
+    WindowAggPlan.windowPartitionWithSkewOpt:203-314):
+
+    1. per-key order-column quantile cut points via percentile_approx
+       (parallel partial agg — never a per-key sort);
+    2. tag each row with its quantile bucket (__salt);
+    3. replicate the newest ``frame depth`` rows of each bucket into the
+       next bucket, flagged EXPANDED → they buffer but never emit
+       (the reference's expand-union with minBlockSize bounding).
+
+    Correctness needs bucket size ≥ frame depth; callers pick q so that
+    hot-key-rows / q ≥ rows_preceding (same constraint as the
+    reference's minBlockSize math, WindowAggPlan.scala:251-288).
+    """
+    from pyspark.sql import Window as W
+
+    depth = max(1, spec.start_delta)
+    probs = [i / q for i in range(1, q)]
+    # skew threshold: only keys whose buckets stay ≥ 2× frame depth are
+    # salted; small keys keep one bucket (the reference gates on
+    # openmldb.skew.level/threshold the same way)
+    min_rows = 2 * depth * q
+    cuts = work.groupBy(*keys).agg(
+        F.percentile_approx(ORD, probs, 10_000).alias("__cuts"),
+        F.count(F.lit(1)).alias("__cnt"),
+    ).withColumn(
+        "__cuts",
+        F.when(F.col("__cnt") >= min_rows, F.col("__cuts"))
+        .otherwise(F.array().cast("array<bigint>")),
+    ).drop("__cnt")
+    tagged = work.join(F.broadcast(cuts), keys, "left").withColumn(
+        "__salt",
+        F.aggregate(
+            F.coalesce(F.col("__cuts"), F.array().cast("array<bigint>")),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col(ORD) > c, 1).otherwise(0),
+        ),
+    ).drop("__cuts")
+
+    w = W.partitionBy(*keys, "__salt").orderBy(
+        F.col(ORD).desc(), *[F.col(t).desc() for t in spec.tiebreak])
+    replicas = (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") <= depth) & (F.col("__salt") < q - 1))
+        .withColumn("__salt", F.col("__salt") + 1)
+        .withColumn(EXPANDED, F.lit(1).cast("int"))
+        .drop("__rn")
+    )
+    # unsalted keys live entirely in bucket 0: their replicas would land
+    # in an empty bucket — restrict replication to actually-salted keys
+    salted_keys = cuts.where(F.size("__cuts") > 0).select(*keys)
+    replicas = replicas.join(F.broadcast(salted_keys), keys, "left_semi")
+    return tagged.unionByName(replicas)
 
 
 def _builtin_ok(spec: WindowSpec, aggs: list[Agg], union) -> bool:

@@ -604,6 +604,47 @@ GROUP BY n_name
 
 
 # --------------------------------------------------------------------------
+# Sort / limit / distinct / const project (SURVEY.md §2.2, §2.6;
+# SortByPlan.scala:24-30, LimitPlan.scala:25-30, ConstProjectPlan.scala)
+# --------------------------------------------------------------------------
+
+def q_sort_limit_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT roles per conversation, globally sorted, limited."""
+    t = transcripts_df(spark, sf_dir)
+    return (
+        t.select("conv_id", "role").distinct()
+        .orderBy("conv_id", "role")
+        .limit(50)
+    )
+
+
+SQL_SORT_LIMIT_DISTINCT = transcripts_sql("""
+SELECT DISTINCT conv_id, role FROM transcripts
+ORDER BY conv_id, role LIMIT 50
+""")
+
+
+def q_const_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT without FROM (ConstProjectPlan cast matrix)."""
+    return spark.range(1).select(
+        F.lit(42).cast("int").alias("i"),
+        F.lit(3.5).cast("double").alias("d"),
+        F.lit("x").alias("s"),
+        F.lit(True).alias("b"),
+        F.lit(None).cast("string").alias("n"),
+        F.concat(F.lit("a"), F.lit("b")).alias("cat"),
+        (F.lit(7) % F.lit(3)).cast("int").alias("m"),
+    )
+
+
+SQL_CONST_PROJECT = """
+SELECT CAST(42 AS INT) AS i, CAST(3.5 AS DOUBLE) AS d, 'x' AS s,
+       TRUE AS b, CAST(NULL AS VARCHAR) AS n, 'a' || 'b' AS cat,
+       CAST(7 % 3 AS INT) AS m
+"""
+
+
+# --------------------------------------------------------------------------
 # Scalar function surface (SURVEY.md §2.8; default_udf_library.cc)
 # --------------------------------------------------------------------------
 
@@ -943,6 +984,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_agg": q_groupby_agg,
     "join_agg": q_join_agg,
     "scalar_funcs": q_scalar_funcs,
+    "sort_limit_distinct": q_sort_limit_distinct,
+    "const_project": q_const_project,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -977,6 +1020,8 @@ ORACLES: dict[str, str] = {
     "groupby_agg": SQL_GROUPBY_AGG,
     "join_agg": SQL_JOIN_AGG,
     "scalar_funcs": SQL_SCALAR_FUNCS,
+    "sort_limit_distinct": SQL_SORT_LIMIT_DISTINCT,
+    "const_project": SQL_CONST_PROJECT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,

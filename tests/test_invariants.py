@@ -126,3 +126,25 @@ def test_skewed_key_chunking(spark):
     base = base.sort_values(KEY).reset_index(drop=True)
     chunked = chunked.sort_values(KEY).reset_index(drop=True)
     pd.testing.assert_frame_equal(base, chunked)
+
+
+def test_salt_quantiles_rows_frame_equals_unsalted(spark):
+    """Percentile skew salting (the reference's SkewDataFrameUtils port)
+    is a pure physical rewrite for ROWS frames under a hot key."""
+    n_hot, n_cold = 3000, 50
+    rows = (
+        [("hot", i, 1_000_000 + i * 700, float(i % 97)) for i in range(n_hot)]
+        + [(f"c{j}", i, 1_000_000 + i * 50_000, float(i))
+           for j in range(10) for i in range(n_cold)]
+    )
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts_ms", "value"])
+    spec = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
+                      frame="rows", preceding=7, tiebreak=("turn_idx",))
+    aggs = [Agg("sum", "value", "s"), Agg("count", "value", "c"),
+            Agg("lag", "value", "l1", param=1)]
+    base = window_agg(df, spec, aggs, keep_cols=KEY,
+                      tier="kernel").toPandas().sort_values(KEY).reset_index(drop=True)
+    salted = window_agg(df, spec, aggs, keep_cols=KEY, tier="kernel",
+                        salt_quantiles=8).toPandas().sort_values(KEY).reset_index(drop=True)
+    assert len(base) == len(salted) == len(rows)
+    pd.testing.assert_frame_equal(base, salted)
