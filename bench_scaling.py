@@ -77,7 +77,7 @@ def run_level(cores: int) -> dict:
 
     job()  # warm-up
     times = []
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SCALE_RUNS", "3"))):
         t0 = time.monotonic()
         rows = job()
         times.append(time.monotonic() - t0)
