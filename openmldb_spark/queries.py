@@ -342,6 +342,35 @@ SELECT conv_id, turn_idx, cfg, weight FROM j WHERE rk = 1
 """)
 
 
+def q_request_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Request-mode analog (engine.h RequestRunSession / kRunnerRequestUnion):
+    point-in-time features for one anchor per conversation, frames over
+    stored history only + the anchor itself."""
+    from openmldb_spark.operators.request import request_features
+
+    t = transcripts_df(spark, sf_dir)
+    req = t.where(F.col("turn_idx") == 40)
+    hist = t.where(F.col("turn_idx") != 40)
+    spec = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
+                      frame="rows_range", preceding="30m",
+                      tiebreak=("turn_idx",))
+    aggs = [Agg("sum", "value", "sum_v"), Agg("count", "value", "cnt_v")]
+    out = request_features(req, hist, spec, aggs, keep_cols=KEY)
+    return _round3(out, ["sum_v"])
+
+
+SQL_REQUEST_MODE = transcripts_sql(f"""
+, req AS (SELECT * FROM transcripts WHERE turn_idx = 40)
+SELECT r.conv_id, r.turn_idx,
+       ROUND(r.value + COALESCE(SUM(h.value), 0), 3) AS sum_v,
+       CAST(1 + COUNT(h.value) AS BIGINT) AS cnt_v
+FROM req r LEFT JOIN transcripts h
+  ON h.conv_id = r.conv_id AND h.turn_idx <> 40
+ AND h.ts_ms <= r.ts_ms AND h.ts_ms >= r.ts_ms - {MIN_30}
+GROUP BY r.conv_id, r.turn_idx, r.value
+""")
+
+
 # --------------------------------------------------------------------------
 # Sessionization + lag/lead (SURVEY.md §2.9 — our extension)
 # --------------------------------------------------------------------------
@@ -974,6 +1003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_join": q_last_join,
     "asof_join": q_asof_join,
     "last_join_unordered": q_last_join_unordered,
+    "request_mode": q_request_mode,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
     "lag_lead": q_lag_lead,
@@ -1010,6 +1040,7 @@ ORACLES: dict[str, str] = {
     "last_join": SQL_LAST_JOIN,
     "asof_join": SQL_ASOF_JOIN,
     "last_join_unordered": SQL_LAST_JOIN_UNORDERED,
+    "request_mode": SQL_REQUEST_MODE,
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,
     "lag_lead": SQL_LAG_LEAD,
