@@ -17,6 +17,7 @@ FILES = {
     "test_maxsize.yaml": 22,
     "test_window_exclude_current_time.yaml": 18,
     "test_window_union.yaml": 8,
+    "test_window.yaml": 51,   # dataProvider-expanded ROWS/ROWS_RANGE variants
 }
 
 
