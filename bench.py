@@ -66,22 +66,26 @@ def main() -> None:
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.monotonic()
-            QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.monotonic() - t0)
-        times[name] = round(best, 3)
+        try:
+            for _ in range(runs):
+                t0 = time.monotonic()
+                QUERIES[name](spark, sf_dir).count()
+                best = min(best, time.monotonic() - t0)
+            times[name] = round(best, 3)
+        except Exception as e:  # one bad query must not sink the record
+            errors[name] = str(e)[:200]
 
     total = round(sum(times.values()), 3)
     # throughput on the flagship kernel-tier window query
     flagship = times.get("window_rows_range", float("nan"))
     turns_per_sec = round(n_turns / flagship, 1) if flagship else None
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    rec = {
         "metric": "headline feature queries wall time",
         "value": total,
         "unit": "sec",
@@ -90,7 +94,10 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec": turns_per_sec,
         "cores": cpus,
-    }))
+    }
+    if errors:
+        rec["errors"] = errors
+    print(json.dumps(rec))
     spark.stop()
 
 

@@ -91,6 +91,18 @@ def window_agg(
     keys = list(spec.partition_by)
     keep_cols = list(keep_cols or df.columns)
 
+    # fail fast with a readable error instead of a deep analysis trace
+    have = set(df.columns)
+    missing = [c for c in [*keys, spec.order_by, *spec.tiebreak, *keep_cols]
+               if c not in have]
+    for a in aggs:
+        missing += [c for c in (a.col, a.cond, a.cate)
+                    if c is not None and c not in have]
+    if missing:
+        raise ValueError(
+            f"window_agg: column(s) {sorted(set(missing))} not in input "
+            f"columns {sorted(have)}")
+
     if tier == "auto":
         tier = "builtin" if _builtin_ok(spec, aggs, union) else "kernel"
     if tier == "builtin":

@@ -122,3 +122,31 @@ def test_last_join_broadcasts_small_right(spark, sf_dir):
     out = last_join(li, nat, spec, right_cols=["c_name"], broadcast=True)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
+
+
+def test_plan_stats_utility(spark, sf_dir):
+    from openmldb_spark.plans.explain import plan_stats
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= "1995-01-01").groupBy(
+        "l_returnflag").count()
+    st = plan_stats(q)
+    assert st.exchanges >= 1 and st.scans >= 1
+    assert st.pandas_stages == 0
+    assert any("l_shipdate" in p for p in st.pushed_filters)
+    assert "shuffles=" in st.summary()
+
+
+def test_window_agg_validates_columns(spark, sf_dir):
+    import pytest as _pytest
+    from openmldb_spark.plans.specs import Agg, WindowSpec
+    t = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    spec = WindowSpec(partition_by=["nope"], order_by="n_nationkey",
+                      frame="rows", preceding=1)
+    with _pytest.raises(ValueError, match="nope"):
+        window_agg(t, spec, [Agg("sum", "n_regionkey", "s")],
+                   keep_cols=["n_name"], tier="kernel")
+    spec2 = WindowSpec(partition_by=["n_regionkey"], order_by="n_nationkey",
+                       frame="rows", preceding=1)
+    with _pytest.raises(ValueError, match="missing_col"):
+        window_agg(t, spec2, [Agg("sum", "missing_col", "s")],
+                   keep_cols=["n_name"], tier="kernel")

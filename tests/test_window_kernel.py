@@ -347,3 +347,55 @@ def test_window_split_trailing_delim_and_empty():
     # trailing delimiter yields an empty part (UpdateSplit scan loop);
     # empty string is one empty part
     assert list(out["ws"]) == ["a|", "|a|"]
+
+
+# ---- hypothesis property test: kernel vs pure-Python oracle ----
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @st.composite
+    def _frames(draw):
+        n = draw(st.integers(5, 40))
+        ts = sorted(draw(st.lists(st.integers(0, 30), min_size=n, max_size=n)))
+        vals = draw(st.lists(
+            st.one_of(st.none(), st.integers(0, 50)), min_size=n, max_size=n))
+        prim = draw(st.lists(st.booleans(), min_size=n, max_size=n))
+        spec = WindowSpec(
+            partition_by=["g"],
+            frame=draw(st.sampled_from(["rows", "rows_range"])),
+            preceding=draw(st.integers(0, 12)) * (
+                1000 if draw(st.booleans()) else 1),
+            max_size=draw(st.sampled_from([0, 0, 2, 3])),
+            exclude_current_time=draw(st.booleans()),
+            tiebreak=("id",),
+        )
+        rows = [dict(id=i, __ord=t * 1000,
+                     v=None if v is None else float(v),
+                     __primary=int(p or i == 0))
+                for i, (t, v, p) in enumerate(zip(ts, vals, prim))]
+        return rows, spec
+
+    @given(_frames())
+    @settings(max_examples=60, deadline=None)
+    def test_hypothesis_kernel_matches_oracle(case):
+        rows, spec = case
+        aggs = [Agg("sum", "v", "s"), Agg("count", "v", "c"),
+                Agg("min", "v", "mn"), Agg("max", "v", "mx"),
+                Agg("lag", "v", "l1", param=1)]
+        got = run(rows, spec, aggs, keep=("id",))
+        srt = sorted(rows, key=lambda r: (r["__ord"], r["__primary"], r["id"]))
+        emit = [i for i, r in enumerate(srt) if r["__primary"] == 1]
+        emit_ids = [srt[i]["id"] for i in emit]
+        got = got.set_index("id").loc[emit_ids]
+        for alias, (f, p) in [("s", ("sum", None)), ("c", ("count", None)),
+                              ("mn", ("min", None)), ("mx", ("max", None)),
+                              ("l1", ("lag", 1))]:
+            exp = [oracle_agg(srt, j, spec, f, "v", param=p) for j in emit]
+            for a, b in zip(got[alias].tolist(), exp):
+                if b is None:
+                    assert a is None or pd.isna(a), (spec, f, a, b)
+                else:
+                    assert a is not None and not pd.isna(a) \
+                        and abs(a - b) < 1e-9, (spec, f, a, b)
+except ImportError:  # pragma: no cover
+    pass
