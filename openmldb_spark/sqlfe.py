@@ -1,0 +1,326 @@
+"""SQL front end — compile OpenMLDB window/LAST JOIN SQL to engine ops.
+
+Covers the offline feature-SQL surface the reference's case corpus uses
+(the same subset the YAML harnesses exercise):
+
+    SELECT <col | agg(args) OVER wN [AS alias]>... FROM {0}
+    WINDOW wN AS ([UNION {i},{j}] PARTITION BY <cols> ORDER BY <col>
+                  ROWS|ROWS_RANGE BETWEEN <bound> AND <bound>
+                  [MAXSIZE n] [EXCLUDE CURRENT_TIME]
+                  [INSTANCE_NOT_IN_WINDOW]) [, w2 AS (...)]
+
+    SELECT <{t}.col [AS alias]>... FROM {0} LAST JOIN {1}
+    [ORDER BY {1}.col] ON <equi/residual conds>
+
+Tables are positional: ``{0}`` is the primary DataFrame, ``{1}``… are
+union/join tables. ``run_sql(spark, sql, [df0, df1, ...])`` executes on
+Spark via window_agg / last_join; grammar sources:
+/root/reference/docs/zh/reference/sql/dql/WINDOW_CLAUSE.md, JOIN_CLAUSE.md.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from openmldb_spark.plans.specs import (Agg, KERNEL_AGG_FUNCS, WindowSpec,
+                                        parse_time_ms)
+
+
+class SqlUnsupported(Exception):
+    """SQL outside the supported subset (with the offending fragment)."""
+
+
+_SQL_RE = re.compile(
+    r"^\s*SELECT\s+(?P<proj>.*?)\s+FROM\s+\{0\}\s+WINDOW\s+(?P<wins>.*?)\s*"
+    r";?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WINDEF_RE = re.compile(r"(\w+)\s+AS\s*\(([^()]*)\)", re.DOTALL)
+_WIN_RE = re.compile(
+    r"^\s*(?:UNION\s+(?P<union>[^P]*?)\s+)?"
+    r"PARTITION\s+BY\s+(?P<part>.*?)\s+"
+    r"ORDER\s+BY\s+(?P<order>.*?)\s+"
+    r"(?P<frame>ROWS_RANGE|ROWS)\s+BETWEEN\s+"
+    r"(?P<start>.*?)\s+AND\s+(?P<end>CURRENT\s+ROW|.*?PRECEDING)"
+    r"(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AGG_RE = re.compile(
+    r"^(?P<fn>\w+)\s*\(\s*(?P<args>[^)]*)\)\s+OVER\s+(?P<win>\w+)\s+"
+    r"(?:AS\s+)?(?P<alias>\w+)$",
+    re.IGNORECASE,
+)
+_LASTJOIN_RE = re.compile(
+    r"^\s*select\s+(?P<proj>.*?)\s+from\s+\{0\}\s+last\s+join\s+\{1\}\s*"
+    r"(?:ORDER\s+BY\s+\{1\}\.(?P<ord>\w+)\s+)?on\s+(?P<cond>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _strip_t(expr: str) -> str:
+    return re.sub(r"\{\d+\}\.", "", expr).strip()
+
+
+def _parse_bound(txt: str, frame: str):
+    txt = txt.strip()
+    if re.fullmatch(r"CURRENT\s+ROW", txt, re.IGNORECASE):
+        return 0, False
+    m = re.fullmatch(r"(?P<v>\S+)\s+(?P<open>OPEN\s+)?PRECEDING", txt,
+                     re.IGNORECASE)
+    if not m:
+        raise SqlUnsupported(f"frame bound {txt!r}")
+    v = m.group("v")
+    is_open = bool(m.group("open"))
+    if v.upper() == "UNBOUNDED":
+        return (10**15, False)
+    if frame == "rows":
+        return int(v), is_open
+    return parse_time_ms(v), is_open
+
+
+def split_projection(proj: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in proj:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def compile_window_clause(body: str) -> tuple[WindowSpec, list[int]]:
+    """One window definition body → (WindowSpec, union table indices)."""
+    wm = _WIN_RE.match(body.strip())
+    if not wm:
+        raise SqlUnsupported(f"window clause {body!r}")
+    if wm.group("union") and "(" in (wm.group("union") or ""):
+        raise SqlUnsupported("sub-select in WINDOW UNION")
+
+    frame = "rows_range" if wm.group("frame").lower() == "rows_range" else "rows"
+    start, start_open = _parse_bound(wm.group("start"), frame)
+    end, end_open = _parse_bound(wm.group("end"), frame)
+
+    tail = wm.group("tail") or ""
+    max_size = 0
+    mm = re.search(r"MAXSIZE\s+(\d+)", tail, re.IGNORECASE)
+    if mm:
+        max_size = int(mm.group(1))
+        tail = tail.replace(mm.group(0), "")
+    exclude_ct = bool(re.search(r"EXCLUDE\s+CURRENT_TIME", tail, re.IGNORECASE))
+    iniw = bool(re.search(r"INSTANCE_NOT_IN_WINDOW", tail, re.IGNORECASE))
+    tail = re.sub(r"EXCLUDE\s+CURRENT_TIME|INSTANCE_NOT_IN_WINDOW", "", tail,
+                  flags=re.IGNORECASE)
+    if re.sub(r"[\s,]+", "", tail):
+        raise SqlUnsupported(f"window options {tail!r}")
+
+    part_cols = [_strip_t(p) for p in wm.group("part").split(",")]
+    order_cols = [_strip_t(o) for o in wm.group("order").split(",")]
+    if len(order_cols) != 1:
+        # the reference batch engine rejects multiple order keys too
+        # (WindowAggPlanUtil.scala:146-149)
+        raise SqlUnsupported("multiple ORDER BY keys")
+
+    spec = WindowSpec(
+        partition_by=part_cols, order_by=order_cols[0], frame=frame,
+        preceding=start, end_offset=end, start_open=start_open,
+        end_open=end_open, max_size=max_size,
+        exclude_current_time=exclude_ct, instance_not_in_window=iniw,
+        tiebreak=(),
+    )
+    union_idx = []
+    if wm.group("union"):
+        for tok in wm.group("union").split(","):
+            um = re.fullmatch(r"\{(\d+)\}", tok.strip())
+            if not um:
+                raise SqlUnsupported(f"UNION target {tok.strip()!r}")
+            union_idx.append(int(um.group(1)))
+    return spec, union_idx
+
+
+@dataclass
+class WindowQuery:
+    # output order: ("col", name) | ("agg", window_name, Agg)
+    projection: list[tuple] = field(default_factory=list)
+    # window name → (spec, union_idx, aggs)
+    windows: dict = field(default_factory=dict)
+
+
+def compile_window_sql(sql: str) -> WindowQuery:
+    sql = sql.strip().replace("\n", " ")
+    m = _SQL_RE.match(sql)
+    if not m:
+        raise SqlUnsupported("not a SELECT ... FROM {0} WINDOW ... query")
+    q = WindowQuery()
+    wins_txt = m.group("wins")
+    consumed = wins_txt
+    for name, body in _WINDEF_RE.findall(wins_txt):
+        spec, union_idx = compile_window_clause(body)
+        q.windows[name] = (spec, union_idx, [])
+        consumed = consumed.replace(f"({body})", "", 1).replace(name, "", 1)
+    if re.sub(r"[\sASas,]+", "", consumed):
+        raise SqlUnsupported(f"unparsed window definitions: {consumed!r}")
+    if not q.windows:
+        raise SqlUnsupported("no window definitions")
+
+    for item in split_projection(m.group("proj")):
+        item = item.strip()
+        am = _AGG_RE.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            wname = am.group("win")
+            if wname not in q.windows:
+                raise SqlUnsupported(f"unknown window {wname!r}")
+            args = [a.strip() for a in am.group("args").split(",")]
+            col = _strip_t(args[0])
+            param = None
+            if fn in ("lag", "at") and len(args) > 1:
+                param = int(args[1])
+            elif fn in ("top", "top_n_frequency", "fz_topn_frequency") \
+                    and len(args) > 1:
+                param = int(args[1])
+                fn = "top_n_frequency" if fn == "fz_topn_frequency" else fn
+            elif len(args) > 1:
+                raise SqlUnsupported(f"aggregate arguments {item!r}")
+            if fn not in KERNEL_AGG_FUNCS:
+                raise SqlUnsupported(f"aggregate {fn!r}")
+            agg = Agg(fn, col, am.group("alias"), param=param)
+            q.windows[wname][2].append(agg)
+            q.projection.append(("agg", wname, agg))
+        else:
+            c = _strip_t(re.sub(r"\s+as\s+\w+$", "", item, flags=re.IGNORECASE))
+            if not re.fullmatch(r"\w+", c):
+                raise SqlUnsupported(f"projection item {item!r}")
+            q.projection.append(("col", c))
+    if not any(w[2] for w in q.windows.values()):
+        raise SqlUnsupported("no window aggregates in projection")
+    return q
+
+
+# -- Spark execution -------------------------------------------------------
+
+def run_sql(spark, sql: str, tables: list):
+    """Execute a supported OpenMLDB SQL query over positional DataFrames.
+
+    Window queries lower to window_agg (one kernel pass per window spec,
+    stitched on a synthetic row id — the ConcatJoin role); LAST JOIN
+    queries lower to last_join."""
+    if re.search(r"last\s+join", sql, re.IGNORECASE):
+        return _run_lastjoin_sql(sql, tables)
+    return _run_window_sql(sql, tables)
+
+
+_RID = "__sql_rid"
+
+
+def _run_window_sql(sql: str, tables: list):
+    import pyspark.sql.functions as F
+    from openmldb_spark.operators.window import window_agg
+
+    q = compile_window_sql(sql)
+    primary = tables[0].withColumn(_RID, F.monotonically_increasing_id())
+    # cache: every window spec re-reads the primary, and the row id must
+    # be stable across those branches (monotonically_increasing_id is
+    # plan-dependent)
+    primary = primary.persist()
+    primary.count()
+
+    keep = [_RID] + [e[1] for e in q.projection if e[0] == "col"]
+    merged = primary.select(*dict.fromkeys(keep))
+    for wname, (spec, union_idx, aggs) in q.windows.items():
+        if not aggs:
+            continue
+        union = [tables[i] for i in union_idx]
+        out = window_agg(primary, spec, aggs, keep_cols=[_RID],
+                         union=union or None, tier="kernel")
+        merged = merged.join(out, _RID, "inner")
+
+    cols = [e[1] if e[0] == "col" else e[2].alias for e in q.projection]
+    return merged.select(*cols)
+
+
+def _run_lastjoin_sql(sql: str, tables: list):
+    import pyspark.sql.functions as F
+    from openmldb_spark.plans.specs import LastJoinSpec
+    from openmldb_spark.operators.lastjoin import last_join
+
+    m = _LASTJOIN_RE.match(sql.strip().replace("\n", " "))
+    if not m:
+        raise SqlUnsupported("not a supported LAST JOIN query")
+    left, right = tables[0], tables[1]
+
+    proj = []
+    for item in m.group("proj").split(","):
+        pm = re.fullmatch(
+            r"\{(?P<t>\d)\}\.(?P<col>\w+)(?:\s+as\s+(?P<alias>\w+))?",
+            item.strip(), re.IGNORECASE)
+        if not pm:
+            raise SqlUnsupported(f"projection item {item.strip()!r}")
+        proj.append((int(pm.group("t")), pm.group("col"),
+                     pm.group("alias") or pm.group("col")))
+
+    right = right.select(*[F.col(c).alias(f"r__{c}") for c in right.columns])
+    equi, residual = [], []
+    for tok in re.split(r"\s+and\s+", m.group("cond"), flags=re.IGNORECASE):
+        tok = tok.strip()
+        em = re.fullmatch(r"\{0\}\.(\w+)\s*=\s*\{1\}\.(\w+)", tok) or \
+            re.fullmatch(r"\{1\}\.(?P<r>\w+)\s*=\s*\{0\}\.(?P<l>\w+)", tok)
+        if em and em.groupdict().get("r"):
+            equi.append((em.group("l"), em.group("r")))
+            continue
+        if em:
+            equi.append((em.group(1), em.group(2)))
+            continue
+        rm = re.fullmatch(r"\{(\d)\}\.(\w+)\s*(>=|<=|!=|=|>|<)\s*(.+)", tok)
+        if rm:
+            t, col, op, rhs = rm.groups()
+            lhs = f"r__{col}" if t == "1" else col
+            rhs = re.sub(r"\{1\}\.(\w+)", r"r__\1", rhs)
+            rhs = re.sub(r"\{0\}\.(\w+)", r"\1", rhs)
+            residual.append(f"{lhs} {op} {rhs}")
+            continue
+        raise SqlUnsupported(f"join condition {tok!r}")
+
+    # right key/order columns are aliased away by last_join: duplicate
+    # any the projection or residual needs
+    order = m.group("ord")
+    right_on = [f"r__{r}" for _, r in equi]
+    hidden = set(right_on) | ({f"r__{order}"} if order else set())
+    need = {c for t, c, _ in proj if t == 1 and f"r__{c}" in hidden}
+    cond_txt = " AND ".join(residual) if residual else None
+    if cond_txt:
+        for rc in re.findall(r"\br__(\w+)", cond_txt):
+            if f"r__{rc}" in right_on:
+                need.add(rc)
+                cond_txt = re.sub(rf"\br__{rc}\b", f"rk__{rc}", cond_txt)
+    for c in need:
+        right = right.withColumn(f"rk__{c}", F.col(f"r__{c}"))
+
+    spec = LastJoinSpec(
+        left_on=[l for l, _ in equi] or ["__k"],
+        right_on=right_on or ["r____k"],
+        order_by=f"r__{order}" if order else None,
+        condition=cond_txt,
+    )
+    if not equi:
+        left = left.withColumn("__k", F.lit(1))
+        right = right.withColumn("r____k", F.lit(1))
+    right_cols = [c for c in right.columns
+                  if c not in spec.right_on and c != spec.order_by]
+    out = last_join(left, right, spec, right_cols=right_cols)
+
+    sel = []
+    for t, col, alias in proj:
+        name = col if t == 0 else f"r__{col}"
+        if name not in out.columns and t == 1:
+            name = f"rk__{col}"
+        if name not in out.columns:
+            raise SqlUnsupported(f"projected column {col!r} unavailable")
+        sel.append(F.col(name).alias(alias))
+    return out.select(*sel)

@@ -34,53 +34,8 @@ from openmldb_spark.operators.window_kernel import (EXPANDED, ORD, PRIMARY,
 
 CASES_DIR = "/root/reference/cases/function/window"
 
-_SQL_RE = re.compile(
-    r"^\s*SELECT\s+(?P<proj>.*?)\s+FROM\s+\{0\}\s+WINDOW\s+(?P<wins>.*?)\s*"
-    r";?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-_WINDEF_RE = re.compile(r"(\w+)\s+AS\s*\(([^()]*)\)", re.DOTALL)
-_WIN_RE = re.compile(
-    r"^\s*(?:UNION\s+(?P<union>[^P]*?)\s+)?"
-    r"PARTITION\s+BY\s+(?P<part>.*?)\s+"
-    r"ORDER\s+BY\s+(?P<order>.*?)\s+"
-    r"(?P<frame>ROWS_RANGE|ROWS)\s+BETWEEN\s+"
-    r"(?P<start>.*?)\s+AND\s+(?P<end>CURRENT\s+ROW|.*?PRECEDING)"
-    r"(?P<tail>.*)$",
-    re.IGNORECASE | re.DOTALL,
-)
-_AGG_RE = re.compile(
-    r"^(?P<fn>\w+)\s*\(\s*(?P<args>[^)]*)\)\s+OVER\s+(?P<win>\w+)\s+"
-    r"(?:AS\s+)?(?P<alias>\w+)$",
-    re.IGNORECASE,
-)
-
-
 class Unsupported(Exception):
     pass
-
-
-def _strip_t(expr: str) -> str:
-    return re.sub(r"\{\d+\}\.", "", expr).strip()
-
-
-def _parse_bound(txt: str, frame: str):
-    """→ (delta:int, open:bool); CURRENT ROW → (0, False)."""
-    txt = txt.strip()
-    if re.fullmatch(r"CURRENT\s+ROW", txt, re.IGNORECASE):
-        return 0, False
-    m = re.fullmatch(r"(?P<v>\S+)\s+(?P<open>OPEN\s+)?PRECEDING", txt,
-                     re.IGNORECASE)
-    if not m:
-        raise Unsupported(f"bound {txt!r}")
-    v = m.group("v")
-    is_open = bool(m.group("open"))
-    if v.upper() == "UNBOUNDED":
-        return (10**15, False)
-    from openmldb_spark.plans.specs import parse_time_ms
-    if frame == "rows":
-        return int(v), is_open
-    return parse_time_ms(v), is_open
 
 
 _TYPES = {
@@ -125,125 +80,15 @@ def _ord_values(pdf: pd.DataFrame, col: str, typ: str) -> pd.Series:
 SUPPORTED_AGGS = KERNEL_AGG_FUNCS
 
 
-def _compile_window(body: str):
-    """One window body → (WindowSpec, union_idx)."""
-    wm = _WIN_RE.match(body.strip())
-    if not wm:
-        raise Unsupported("window clause shape")
-    if wm.group("union") and "(" in (wm.group("union") or ""):
-        raise Unsupported("union subquery")
-
-    frame = wm.group("frame").lower()
-    frame = "rows_range" if frame == "rows_range" else "rows"
-    start, start_open = _parse_bound(wm.group("start"), frame)
-    end, end_open = _parse_bound(wm.group("end"), frame)
-
-    tail = wm.group("tail") or ""
-    max_size = 0
-    mm = re.search(r"MAXSIZE\s+(\d+)", tail, re.IGNORECASE)
-    if mm:
-        max_size = int(mm.group(1))
-        tail = tail.replace(mm.group(0), "")
-    exclude_ct = bool(re.search(r"EXCLUDE\s+CURRENT_TIME", tail,
-                                re.IGNORECASE))
-    iniw = bool(re.search(r"INSTANCE_NOT_IN_WINDOW", tail, re.IGNORECASE))
-    tail = re.sub(r"EXCLUDE\s+CURRENT_TIME", "", tail, flags=re.IGNORECASE)
-    tail = re.sub(r"INSTANCE_NOT_IN_WINDOW", "", tail, flags=re.IGNORECASE)
-    leftover = re.sub(r"[\s,]+", "", tail)
-    if leftover:
-        raise Unsupported(f"window tail {tail!r}")
-
-    part_cols = [_strip_t(p) for p in wm.group("part").split(",")]
-    order_cols = [_strip_t(o) for o in wm.group("order").split(",")]
-    if len(order_cols) != 1:
-        raise Unsupported("multiple order keys")
-
-    spec = WindowSpec(
-        partition_by=part_cols, order_by=order_cols[0], frame=frame,
-        preceding=start, end_offset=end, start_open=start_open,
-        end_open=end_open, max_size=max_size,
-        exclude_current_time=exclude_ct, instance_not_in_window=iniw,
-        tiebreak=(),
-    )
-    union_idx = []
-    if wm.group("union"):
-        for tok in wm.group("union").split(","):
-            t = tok.strip()
-            um = re.fullmatch(r"\{(\d+)\}", t)
-            if not um:
-                raise Unsupported(f"union target {t!r}")
-            union_idx.append(int(um.group(1)))
-    return spec, union_idx
-
-
 def compile_case(case: dict):
-    """→ (proj_seq, windows) where proj_seq = [("col", name) |
-    ("agg", win_name, Agg)] in output order and windows =
-    {name: (spec, union_idx, [Agg,...])}."""
-    sql = case["sql"].strip().replace("\n", " ")
-    if " OVER " not in sql and " over " not in sql:
-        raise Unsupported("no window agg")
-    m = _SQL_RE.match(sql)
-    if not m:
-        raise Unsupported("sql shape")
-    wins_txt = m.group("wins")
-    windows: dict[str, tuple] = {}
-    consumed = wins_txt
-    for name, body in _WINDEF_RE.findall(wins_txt):
-        spec, union_idx = _compile_window(body)
-        windows[name] = (spec, union_idx, [])
-        consumed = consumed.replace(f"({body})", "", 1).replace(name, "", 1)
-    if re.sub(r"[\sASas,]+", "", consumed):
-        raise Unsupported(f"window defs leftover {consumed!r}")
-    if not windows:
-        raise Unsupported("no windows parsed")
-
-    proj_seq = []
-    for item in _split_proj(m.group("proj")):
-        item = item.strip()
-        am = _AGG_RE.match(item)
-        if am:
-            fn = am.group("fn").lower()
-            wname = am.group("win")
-            if wname not in windows:
-                raise Unsupported(f"unknown window {wname}")
-            args = [a.strip() for a in am.group("args").split(",")]
-            col = _strip_t(args[0])
-            param = None
-            if fn in ("lag", "at") and len(args) > 1:
-                param = int(args[1])
-            elif len(args) > 1:
-                raise Unsupported(f"agg args {item!r}")
-            if fn not in SUPPORTED_AGGS:
-                raise Unsupported(f"agg {fn}")
-            agg = Agg(fn, col, am.group("alias"), param=param)
-            windows[wname][2].append(agg)
-            proj_seq.append(("agg", wname, agg))
-        else:
-            c = _strip_t(re.sub(r"\s+as\s+\w+$", "", item,
-                                flags=re.IGNORECASE))
-            if not re.fullmatch(r"\w+", c):
-                raise Unsupported(f"projection {item!r}")
-            proj_seq.append(("col", c))
-    if not any(w[2] for w in windows.values()):
-        raise Unsupported("no aggs")
-    return proj_seq, windows
-
-
-def _split_proj(proj: str) -> list[str]:
-    out, depth, cur = [], 0, []
-    for ch in proj:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    out.append("".join(cur))
-    return out
+    """Delegate to the package SQL front end (openmldb_spark/sqlfe.py);
+    returns (projection sequence, windows dict) in its format."""
+    from openmldb_spark.sqlfe import SqlUnsupported, compile_window_sql
+    try:
+        q = compile_window_sql(str(case["sql"]))
+    except SqlUnsupported as e:
+        raise Unsupported(str(e)) from None
+    return q.projection, q.windows
 
 
 _RID = "__rid"
