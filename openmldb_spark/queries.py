@@ -342,6 +342,50 @@ SELECT conv_id, turn_idx, cfg, weight FROM j WHERE rk = 1
 """)
 
 
+def q_window_skewed_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed conversation sizes (~200×) + duplicate timestamps: frame
+    admits same-ts rows buffered earlier (sort = ord, primary, tiebreak —
+    WindowAggPlan.windowPartition:322-343) and EXCLUDE CURRENT_TIME drops
+    the same-ts peers. bucket_ms chunking exercises the skew path."""
+    from openmldb_spark.transcripts import skewed_df
+
+    t = skewed_df(spark, sf_dir)
+    spec = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
+                      frame="rows_range", preceding="5m",
+                      tiebreak=("turn_idx",))
+    inc = window_agg(t, spec, [Agg("sum", "value", "sum_v"),
+                               Agg("count", "value", "cnt_v")],
+                     keep_cols=KEY, tier="kernel", bucket_ms=600_000)
+    spec_x = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
+                        frame="rows_range", preceding="5m",
+                        exclude_current_time=True, tiebreak=("turn_idx",))
+    exc = window_agg(t, spec_x, [Agg("sum", "value", "sum_x"),
+                                 Agg("count", "value", "cnt_x")],
+                     keep_cols=KEY, tier="kernel")
+    out = inc.join(exc, KEY)
+    return _round3(out, ["sum_v", "sum_x"])
+
+
+SQL_WINDOW_SKEWED_TIES = __import__(
+    "openmldb_spark.transcripts", fromlist=["skewed_sql"]).skewed_sql(f"""
+SELECT t.conv_id, t.turn_idx,
+       ROUND(SUM(CASE WHEN h.ts_ms < t.ts_ms
+                       OR (h.ts_ms = t.ts_ms AND h.turn_idx <= t.turn_idx)
+                 THEN h.value END), 3) AS sum_v,
+       COUNT(CASE WHEN h.ts_ms < t.ts_ms
+                   OR (h.ts_ms = t.ts_ms AND h.turn_idx <= t.turn_idx)
+             THEN h.value END) AS cnt_v,
+       ROUND(t.value + COALESCE(
+           SUM(CASE WHEN h.ts_ms < t.ts_ms THEN h.value END), 0), 3) AS sum_x,
+       CAST(1 + COUNT(CASE WHEN h.ts_ms < t.ts_ms THEN h.value END)
+            AS BIGINT) AS cnt_x
+FROM skewed t JOIN skewed h
+  ON h.conv_id = t.conv_id
+ AND h.ts_ms <= t.ts_ms AND h.ts_ms >= t.ts_ms - 300000
+GROUP BY t.conv_id, t.turn_idx, t.value
+""")
+
+
 def q_request_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Request-mode analog (engine.h RequestRunSession / kRunnerRequestUnion):
     point-in-time features for one anchor per conversation, frames over
@@ -1003,6 +1047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_join": q_last_join,
     "asof_join": q_asof_join,
     "last_join_unordered": q_last_join_unordered,
+    "window_skewed_ties": q_window_skewed_ties,
     "request_mode": q_request_mode,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
@@ -1040,6 +1085,7 @@ ORACLES: dict[str, str] = {
     "last_join": SQL_LAST_JOIN,
     "asof_join": SQL_ASOF_JOIN,
     "last_join_unordered": SQL_LAST_JOIN_UNORDERED,
+    "window_skewed_ties": SQL_WINDOW_SKEWED_TIES,
     "request_mode": SQL_REQUEST_MODE,
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,

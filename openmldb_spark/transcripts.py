@@ -73,6 +73,40 @@ transcripts AS (
 )
 """
 
+# Skew + duplicate-ts fixture (FIXTURES.md F1 spirit): conversation sizes
+# ramp ~1..199 per 10k events (conv = floor(sqrt(event_id % 10000))) and
+# three turns share each minute-resolution timestamp. Deterministic and
+# identical on Spark SQL / DuckDB (FLOOR(SQRT(int)) is exact for perfect
+# squares in IEEE doubles).
+SKEWED_CTE = f"""
+sk_ev AS (
+  SELECT event_id, value,
+         CAST(FLOOR(SQRT(event_id % 10000)) AS INT) AS conv_n,
+         ROW_NUMBER() OVER (
+             PARTITION BY CAST(FLOOR(SQRT(event_id % 10000)) AS INT)
+             ORDER BY event_id) AS rn
+  FROM events
+),
+skewed AS (
+  SELECT CONCAT('s_', CAST(conv_n AS STRING)) AS conv_id,
+         CAST(rn - 1 AS INT) AS turn_idx,
+         CAST({TS_BASE_MS} + 60000 * CAST(FLOOR((rn - 1) / 3) AS BIGINT)
+              AS BIGINT) AS ts_ms,
+         CAST(value AS DOUBLE) AS value
+  FROM sk_ev
+)
+"""
+
+
+def skewed_sql(select: str) -> str:
+    return f"WITH {SKEWED_CTE} {select}"
+
+
+def skewed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_testdata_views(spark, sf_dir, ["events"])
+    return spark.sql(skewed_sql("SELECT * FROM skewed"))
+
+
 # A point-in-time right table for LAST JOIN: sparse per-conversation "model
 # config updates" strictly before some turns (ts shifted back 1500 ms so a
 # right row never shares a timestamp with a left row).
