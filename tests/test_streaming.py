@@ -100,3 +100,63 @@ def test_foreach_batch_runs_engine_ops(spark, sf_dir, tmp_path):
     out = spark.read.parquet(dest)
     assert out.count() == batch.count()
     assert set(out.columns) == {"conv_id", "turn_idx", "s"}
+
+
+def test_stateful_running_features_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState operator: streamed running features equal
+    the batch computation (sessionized cumsum/lag) on the same data."""
+    from openmldb_spark.streaming.stateful import stream_running_features
+    from openmldb_spark.operators.sessionize import sessionize
+    from openmldb_spark.plans.specs import SessionizeSpec
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "stateful_src")
+    t = transcripts_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "ts_ms", "value")
+    # multiple files → multiple micro-batches exercise cross-batch state.
+    # FileStreamSource orders files by modification time, so write the
+    # time slices sequentially (distinct mtimes) — each conversation's
+    # rows then arrive time-ascending, the operator's stated disorder
+    # bound (a real deployment enforces it with per-key-ordered ingestion)
+    import time as _time
+    cuts = t.approxQuantile("ts_ms", [0.33, 0.66], 0.0)
+    bounds = [float("-inf"), *cuts, float("inf")]
+    for i in range(3):
+        sl = t.where((F.col("ts_ms") > bounds[i])
+                     & (F.col("ts_ms") <= bounds[i + 1]))
+        sl.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream_running_features(stream, gap_ms=300_000)
+        .writeStream.format("memory").queryName("running")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r.conv_id, r.turn_idx): (r.session_id, round(r.run_sum, 6),
+                                     r.run_cnt)
+           for r in spark.table("running").collect()}
+
+    sess = sessionize(t, SessionizeSpec(partition_by=["conv_id"],
+                                        order_by="ts_ms", gap_ms="5m"))
+    w = (Window.partitionBy("conv_id", "session_id")
+         .orderBy("ts_ms", "turn_idx")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    exp_df = sess.select(
+        "conv_id", "turn_idx",
+        F.col("session_id"),
+        F.sum("value").over(w).alias("rs"),
+        F.count("value").over(w).alias("rc"),
+    ).collect()
+    exp = {(r.conv_id, r.turn_idx): (r.session_id, round(r.rs, 6), r.rc)
+           for r in exp_df}
+    assert len(got) == len(exp) > 0
+    # NOTE: micro-batch file order can deliver rows out of order across
+    # batches; with this deterministic file split the per-conv order holds
+    mismatches = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
+    assert not mismatches, dict(list(mismatches.items())[:5])
