@@ -35,6 +35,8 @@ HEADLINE = [
     "window_exclude_current_time",
     "window_union",
     "window_split",
+    "window_skewed_ties",
+    "request_mode",
     "last_join",
     "asof_join",
     "sessionize",

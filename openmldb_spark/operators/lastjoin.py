@@ -114,6 +114,13 @@ def asof_join_kernel(
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
+    missing_l = [c for c in [*on, left_ts] if c not in left.columns]
+    missing_r = [c for c in [*on, right_ts, *right_cols]
+                 if c not in right.columns]
+    if missing_l or missing_r:
+        raise ValueError(
+            f"asof_join_kernel: missing columns left={missing_l} "
+            f"right={missing_r}")
     # every field nullable: unmatched left rows carry null right columns
     out_schema = T.StructType(
         [T.StructField(f.name, f.dataType, True) for f in left.schema.fields]
@@ -142,7 +149,12 @@ def asof_join_kernel(
         )
         return merged[left_cols + right_cols]
 
-    lg = left.repartition(num_partitions, *on) if num_partitions else left
-    return lg.groupBy(*on).cogroup(right.groupBy(*on)).applyInPandas(
+    # explicit partition count: AQE size-based coalescing would serialize
+    # the per-group Python merge (see window.py kernel note)
+    if num_partitions is None:
+        num_partitions = left.sparkSession.sparkContext.defaultParallelism
+    lg = left.repartition(num_partitions, *on)
+    rg = right.repartition(num_partitions, *on)
+    return lg.groupBy(*on).cogroup(rg.groupBy(*on)).applyInPandas(
         merge, schema=out_schema
     )

@@ -103,8 +103,19 @@ def skewed_sql(select: str) -> str:
 
 
 def skewed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir, "skewed")
+    cached = _CACHE.get(key)
+    if cached is not None:
+        try:
+            if not cached.sparkSession.sparkContext._jsc.sc().isStopped():
+                return cached
+        except Exception:
+            pass
+        _CACHE.pop(key, None)
     with_testdata_views(spark, sf_dir, ["events"])
-    return spark.sql(skewed_sql("SELECT * FROM skewed"))
+    df = spark.sql(skewed_sql("SELECT * FROM skewed")).persist()
+    _CACHE[key] = df
+    return df
 
 
 # A point-in-time right table for LAST JOIN: sparse per-conversation "model
