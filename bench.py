@@ -49,6 +49,7 @@ HEADLINE = [
     "scalar_funcs",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "minhash_lsh_fast",
     "text_stats",
     "doc_fingerprint",
     "ann_cosine_topk",

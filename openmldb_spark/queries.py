@@ -1013,6 +1013,15 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
 
+def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash MinHash path (xxhash64 — not SQL-replicable, so
+    rows-only check; the md5 twin above is the oracle-checked one)."""
+    from openmldb_spark.pipeline.dedup import minhash_lsh_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(d, "text", "doc_id", bands=4, rows_per_band=2,
+                             shingle_k=3, threshold=0.4, hash_fn="xxhash64")
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No SQL oracle (blake2b not in DuckDB) — driver rows-only check;
     exactness covered by golden unit tests."""
@@ -1069,6 +1078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "minhash_lsh_fast": q_minhash_lsh_fast,
     "simhash_near_pairs": q_simhash_near_pairs,
     "multimodal_features": q_multimodal_features,
 }

@@ -161,3 +161,25 @@ def test_tokens_and_shingles_edgecases(spark):
     assert got[3] == ([], [])
     assert got[4][0] == ["one", "two", "three", "four"]
     assert got[4][1] == ["one two three", "two three four"]
+
+
+def test_minhash_xxhash64_fast_path(spark, docs):
+    """Production hash path: verified pairs are still true pairs with the
+    same jaccard (candidates differ per hash family, verification doesn't)."""
+    from openmldb_spark.pipeline.dedup import (minhash_lsh_pairs,
+                                               ngram_jaccard_pairs)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                     threshold=0.4).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.4,
+                                   hash_fn="xxhash64").collect()
+    }
+    for k, v in fast.items():
+        assert k in exact and abs(v - exact[k]) < 1e-9
+    high = {k for k, v in exact.items() if v >= 0.8}
+    if high:
+        assert len(high & set(fast)) / len(high) >= 0.8
