@@ -16,7 +16,9 @@ from openmldb_spark.plans.specs import Agg, LastJoinSpec, SessionizeSpec, Window
 from openmldb_spark.operators.window import window_agg
 from openmldb_spark.operators.lastjoin import last_join, asof_join_kernel
 from openmldb_spark.operators.sessionize import sessionize
+from openmldb_spark.operators.request import request_features
 from openmldb_spark.session import get_spark
+from openmldb_spark.sqlfe import run_sql
 
 __all__ = [
     "Agg",
@@ -27,6 +29,8 @@ __all__ = [
     "last_join",
     "asof_join_kernel",
     "sessionize",
+    "request_features",
+    "run_sql",
     "get_spark",
 ]
 
