@@ -205,12 +205,32 @@ def compile_window_sql(sql: str) -> WindowQuery:
 
 # -- Spark execution -------------------------------------------------------
 
-def run_sql(spark, sql: str, tables: list):
-    """Execute a supported OpenMLDB SQL query over positional DataFrames.
+def canonicalize_tables(sql: str, tables) -> tuple[str, list]:
+    """Accept either positional DataFrames (``{0}`` refs) or a
+    {name: DataFrame} dict (``FROM t1 ... t1.col`` refs, like the
+    reference's named tables); returns ({i}-canonical sql, ordered dfs)."""
+    if not isinstance(tables, dict):
+        return sql, list(tables)
+    ordered = list(tables.items())
+    for i, (name, _) in enumerate(ordered):
+        sql = re.sub(rf"\b{re.escape(name)}\s*\.", f"{{{i}}}.", sql)
+        sql = re.sub(rf"(\bFROM\s+){re.escape(name)}\b", rf"\g<1>{{{i}}}",
+                     sql, flags=re.IGNORECASE)
+        sql = re.sub(rf"(\bjoin\s+){re.escape(name)}\b", rf"\g<1>{{{i}}}",
+                     sql, flags=re.IGNORECASE)
+        sql = re.sub(rf"(\bUNION\s+(?:\{{\d+\}}\s*,\s*)*){re.escape(name)}\b",
+                     rf"\g<1>{{{i}}}", sql, flags=re.IGNORECASE)
+    return sql, [df for _, df in ordered]
+
+
+def run_sql(spark, sql: str, tables):
+    """Execute a supported OpenMLDB SQL query over DataFrames — either a
+    positional list (``{0}`` refs) or a {name: df} dict (named tables).
 
     Window queries lower to window_agg (one kernel pass per window spec,
     stitched on a synthetic row id — the ConcatJoin role); LAST JOIN
     queries lower to last_join."""
+    sql, tables = canonicalize_tables(sql, tables)
     if re.search(r"last\s+join", sql, re.IGNORECASE):
         return _run_lastjoin_sql(sql, tables)
     return _run_window_sql(sql, tables)

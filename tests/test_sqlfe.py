@@ -126,3 +126,22 @@ def test_sqlfe_rejects_unsupported():
             "SELECT a, rank() OVER w1 AS r FROM {0} WINDOW w1 AS "
             "(PARTITION BY a ORDER BY b ROWS BETWEEN 1 PRECEDING AND "
             "CURRENT ROW)")
+
+
+def test_sqlfe_named_tables(spark):
+    from openmldb_spark.sqlfe import run_sql as _run
+    t = spark.createDataFrame(
+        [("a", 0, 1000, 1.0), ("a", 1, 2000, 2.0), ("a", 2, 3000, 4.0)],
+        ["conv_id", "turn_idx", "ts_ms", "value"])
+    hist = spark.createDataFrame(
+        [("a", 500, 10.0)], ["conv_id", "ts_ms", "value"])
+    sql = """
+    SELECT conv_id, turn_idx, sum(value) OVER w1 AS s
+    FROM transcripts WINDOW w1 AS (
+      UNION history
+      PARTITION BY transcripts.conv_id ORDER BY transcripts.ts_ms
+      ROWS_RANGE BETWEEN 10s PRECEDING AND CURRENT ROW)
+    """
+    out = {r.turn_idx: r.s for r in
+           _run(spark, sql, {"transcripts": t, "history": hist}).collect()}
+    assert out == {0: 11.0, 1: 13.0, 2: 17.0}
