@@ -39,6 +39,9 @@ def _mkdf(spark, inp):
                 rr.append(int(v))
             elif t in ("float", "double"):
                 rr.append(float(v))
+            elif t == "bool":
+                rr.append(v if isinstance(v, bool)
+                          else str(v).lower() in ("true", "1"))
             else:
                 rr.append(str(v))
         fixed.append(rr)
