@@ -386,6 +386,31 @@ GROUP BY t.conv_id, t.turn_idx, t.value
 """)
 
 
+def q_long_window_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-window tier: materialized bucket partials + edge scans
+    (LongWindowOptimized analog, operators/preagg.py)."""
+    from openmldb_spark.operators.preagg import build_preagg, long_window_agg
+
+    t = transcripts_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "ts_ms", "value")
+    partials = build_preagg(t, ["conv_id"], "ts_ms", "value", 600_000)
+    out = long_window_agg(t, partials, ["conv_id"], "ts_ms", "value",
+                          window_ms=3 * HOUR, bucket_ms=600_000)
+    return out.select(
+        *KEY, F.round("w_sum", 3).alias("sum_v"),
+        F.col("w_cnt").alias("cnt_v"))
+
+
+SQL_LONG_WINDOW_PREAGG = transcripts_sql(f"""
+SELECT conv_id, turn_idx,
+       ROUND(SUM(value) OVER w, 3) AS sum_v,
+       COUNT(value) OVER w AS cnt_v
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts_ms
+             RANGE BETWEEN {3 * HOUR} PRECEDING AND CURRENT ROW)
+""")
+
+
 def q_request_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Request-mode analog (engine.h RequestRunSession / kRunnerRequestUnion):
     point-in-time features for one anchor per conversation, frames over
@@ -1057,6 +1082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "last_join_unordered": q_last_join_unordered,
     "window_skewed_ties": q_window_skewed_ties,
+    "long_window_preagg": q_long_window_preagg,
     "request_mode": q_request_mode,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
@@ -1096,6 +1122,7 @@ ORACLES: dict[str, str] = {
     "asof_join": SQL_ASOF_JOIN,
     "last_join_unordered": SQL_LAST_JOIN_UNORDERED,
     "window_skewed_ties": SQL_WINDOW_SKEWED_TIES,
+    "long_window_preagg": SQL_LONG_WINDOW_PREAGG,
     "request_mode": SQL_REQUEST_MODE,
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,
