@@ -152,8 +152,31 @@ class WindowQuery:
     windows: dict = field(default_factory=dict)
 
 
+def _lift_anonymous_windows(sql: str) -> str:
+    """Rewrite inline `agg() OVER (PARTITION BY ...)` windows into named
+    definitions appended to the WINDOW clause (creating one if absent) —
+    window bodies never contain parentheses in this dialect."""
+    bodies: list[str] = []
+
+    def repl(m):
+        bodies.append(m.group(1))
+        return f" OVER __anon{len(bodies) - 1} "
+
+    new = re.sub(r"OVER\s*\(([^()]*)\)", repl, sql, flags=re.IGNORECASE)
+    if not bodies:
+        return sql
+    defs = ", ".join(f"__anon{i} AS ({b})" for i, b in enumerate(bodies))
+    if re.search(r"\bWINDOW\b", new, re.IGNORECASE):
+        new = re.sub(r"\bWINDOW\b", f"WINDOW {defs}, ", new, count=1,
+                     flags=re.IGNORECASE)
+    else:
+        new = re.sub(r";?\s*$", "", new) + f" WINDOW {defs}"
+    return new
+
+
 def compile_window_sql(sql: str) -> WindowQuery:
     sql = sql.strip().replace("\n", " ")
+    sql = _lift_anonymous_windows(sql)
     m = _SQL_RE.match(sql)
     if not m:
         raise SqlUnsupported("not a SELECT ... FROM {0} WINDOW ... query")

@@ -1,0 +1,148 @@
+"""Run the reference's query-corpus window cases (named tables,
+schema/data string inputs, anonymous inline windows) through run_sql on
+Spark — /root/reference/cases/query/window_query.yaml."""
+
+import math
+import re
+
+import pandas as pd
+import pytest
+import yaml
+
+import pyspark.sql.types as T
+
+from openmldb_spark.sqlfe import SqlUnsupported, run_sql
+
+CASES = "/root/reference/cases/query/window_query.yaml"
+
+_TYPES = {
+    "int": T.IntegerType(), "int32": T.IntegerType(),
+    "int16": T.ShortType(), "smallint": T.ShortType(),
+    "int64": T.LongType(), "bigint": T.LongType(),
+    "float": T.FloatType(), "double": T.DoubleType(),
+    "string": T.StringType(), "bool": T.BooleanType(),
+    "timestamp": T.LongType(), "date": T.StringType(),
+}
+
+
+class Unsupported(Exception):
+    pass
+
+
+def _parse_schema(s: str):
+    cols = []
+    for part in s.split(","):
+        name, typ = part.strip().split(":")
+        cols.append((name.strip(), typ.strip().lower()))
+    return cols
+
+
+def _parse_value(v: str, typ: str):
+    v = v.strip()
+    if v.upper() in ("NULL", "NONE") or v == "":
+        return None
+    if typ in ("int", "int32", "int16", "smallint", "int64", "bigint",
+               "timestamp"):
+        return int(v)
+    if typ in ("float", "double"):
+        return float(v)
+    if typ == "bool":
+        return v.lower() in ("true", "1")
+    return v
+
+
+def _mk_named_df(spark, inp):
+    if "schema" not in inp or "data" not in inp:
+        raise Unsupported("input without schema/data")
+    cols = _parse_schema(inp["schema"])
+    if any(t not in _TYPES for _, t in cols):
+        raise Unsupported(f"type in {cols}")
+    schema = T.StructType([T.StructField(n, _TYPES[t]) for n, t in cols])
+    rows = []
+    for line in str(inp["data"]).strip().splitlines():
+        vals = line.split(",")
+        if len(vals) != len(cols):
+            raise Unsupported("ragged data row")
+        rows.append([_parse_value(v, t) for v, (_, t) in zip(vals, cols)])
+    return inp.get("name", "t1"), spark.createDataFrame(rows, schema)
+
+
+def _load():
+    with open(CASES) as f:
+        return yaml.safe_load(f)["cases"]
+
+
+def _check(spark, case):
+    tables = dict(_mk_named_df(spark, inp) for inp in case["inputs"])
+    sql = str(case["sql"])
+    if re.search(r"\blimit\s+\d+", sql, re.IGNORECASE):
+        raise Unsupported("limit")
+    got = run_sql(spark, sql, tables).toPandas()
+
+    exp = case["expect"]
+    if "schema" not in exp or "data" not in exp:
+        raise Unsupported("expect without schema/data")
+    cols = _parse_schema(exp["schema"])
+    erows = []
+    for line in str(exp["data"]).strip().splitlines():
+        vals = line.split(",")
+        erows.append([_parse_value(v, t) for v, (_, t) in zip(vals, cols)])
+    names = [n for n, _ in cols]
+    assert list(got.columns) == names, (list(got.columns), names)
+    assert len(got) == len(erows), (len(got), len(erows))
+
+    grows = got.where(pd.notna(got), None).values.tolist()
+    order = exp.get("order")
+    if order:
+        oi = names.index(order)
+
+        def k(r):
+            return (r[oi] is None, str(r[oi]))
+        erows = sorted(erows, key=k)
+        grows = sorted(grows, key=k)
+    for grow, erow in zip(grows, erows):
+        for (name, typ), gv, ev in zip(cols, grow, erow):
+            if ev is None:
+                assert gv is None, (name, gv)
+            elif typ in ("float", "double"):
+                assert math.isclose(float(gv), float(ev), rel_tol=1e-5,
+                                    abs_tol=1e-5), (name, gv, ev)
+            elif typ in ("int", "int32", "int16", "smallint", "int64",
+                         "bigint", "timestamp"):
+                assert int(gv) == int(ev), (name, gv, ev)
+            else:
+                assert str(gv) == str(ev), (name, gv, ev)
+
+
+def _params():
+    return [pytest.param(c, id=f"wq::{c.get('id')}") for c in _load()]
+
+
+@pytest.mark.parametrize("case", _params())
+def test_window_query_case(case, spark):
+    if case.get("mode") and "unsupport" in str(case["mode"]):
+        pytest.skip("marked unsupported")
+    if case.get("expect", {}).get("success") is False:
+        pytest.skip("negative case")
+    try:
+        _check(spark, case)
+    except (Unsupported, SqlUnsupported) as e:
+        pytest.skip(f"outside subset: {e}")
+
+
+def test_minimum_window_query_coverage(spark):
+    ok, fails = 0, []
+    for case in _load():
+        if case.get("mode") and "unsupport" in str(case["mode"]):
+            continue
+        if case.get("expect", {}).get("success") is False:
+            continue
+        try:
+            _check(spark, case)
+            ok += 1
+        except (Unsupported, SqlUnsupported):
+            pass
+        except AssertionError as e:
+            fails.append((case.get("id"), str(e)[:150]))
+    assert not fails, fails
+    assert ok >= 8, f"only {ok} window_query cases supported"
