@@ -61,8 +61,12 @@ def _agg_field(agg: Agg, in_field: T.StructField | None) -> T.StructField:
     if f in ("lag", "at", "first_value"):
         assert in_field is not None
         return T.StructField(agg.alias, in_field.dataType)
-    # sum/min/max (+_where): integer inputs widen to long, else double
     assert in_field is not None
+    # min/max preserve non-numeric types (strings/dates order lexically)
+    if f in ("min", "max", "min_where", "max_where") and not isinstance(
+            in_field.dataType, (*_INT_TYPES, T.FloatType, T.DoubleType)):
+        return T.StructField(agg.alias, in_field.dataType)
+    # sum/min/max (+_where): integer inputs widen to long, else double
     if isinstance(in_field.dataType, _INT_TYPES):
         return T.StructField(agg.alias, T.LongType())
     return T.StructField(agg.alias, T.DoubleType())

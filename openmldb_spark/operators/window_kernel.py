@@ -330,6 +330,30 @@ def window_split_strings(pdf, col, f, delim, kv_delim, sep,
     return res
 
 
+def ordered_min_max(pdf, col, cond, f, idx_e, lo, hi, E, anchored) -> list:
+    """min/max over orderable non-numeric columns (strings, ISO dates):
+    factorize to sorted ordinals, run the numeric range-min/max, map back."""
+    codes, uniq = _factorize_sorted(pdf[col])
+    x = codes.astype(np.float64)
+    x[codes < 0] = np.nan
+    if cond is not None:
+        cm = pdf[cond].fillna(False).to_numpy(bool)
+        x = np.where(cm, x, np.nan)
+    x_e = x[idx_e]
+    is_min = f.startswith("min")
+    op = np.minimum if is_min else np.maximum
+    fill = np.inf if is_min else -np.inf
+    st = _SparseTable(np.where(np.isnan(x_e), fill, x_e), op)
+    vals = st.query(lo, hi)
+    sv = x[E]
+    ok = anchored & ~np.isnan(sv)
+    vals = np.where(ok, op(vals, np.where(np.isnan(sv), fill, sv)), vals)
+    out = []
+    for v in vals:
+        out.append(None if np.isinf(v) or np.isnan(v) else uniq[int(v)])
+    return out
+
+
 def _fmt_num(v) -> str:
     """Format a value for csv-emitting UDAFs (top, *_cate)."""
     if isinstance(v, (float, np.floating)):
@@ -439,6 +463,16 @@ def group_window_features(
             out[alias] = vals
         elif f in ("min", "max", "min_where", "max_where"):
             cond = agg.cond if f.endswith("_where") else None
+            if not pd.api.types.is_numeric_dtype(pdf[col]) and \
+                    not pdf[col].map(
+                        lambda v: v is None or isinstance(v, (int, float))
+                    ).all():
+                # string/date columns: ordinal-encode (sorted order ==
+                # lexicographic/ISO order) then reuse the numeric
+                # sparse-table machinery (MinUdafDef<StringRef>)
+                out[alias] = ordered_min_max(
+                    pdf, col, cond, f, idx_e, lo, hi, E, anchored)
+                continue
             x, x_e, nn = numeric(col)
             if cond is not None:
                 cm = pdf[cond].fillna(False).to_numpy(bool)[idx_e]

@@ -146,7 +146,7 @@ def compile_window_clause(body: str) -> tuple[WindowSpec, list[int]]:
 
 @dataclass
 class WindowQuery:
-    # output order: ("col", name) | ("agg", window_name, Agg)
+    # output order: ("col", src, alias) | ("agg", window_name, Agg)
     projection: list[tuple] = field(default_factory=list)
     # window name → (spec, union_idx, aggs)
     windows: dict = field(default_factory=dict)
@@ -217,10 +217,13 @@ def compile_window_sql(sql: str) -> WindowQuery:
             q.windows[wname][2].append(agg)
             q.projection.append(("agg", wname, agg))
         else:
-            c = _strip_t(re.sub(r"\s+as\s+\w+$", "", item, flags=re.IGNORECASE))
-            if not re.fullmatch(r"\w+", c):
+            cm = re.fullmatch(
+                r"(?P<src>\S+?)(?:\s+as\s+(?P<alias>\w+))?", item,
+                re.IGNORECASE)
+            src = _strip_t(cm.group("src")) if cm else ""
+            if not re.fullmatch(r"\w+", src):
                 raise SqlUnsupported(f"projection item {item!r}")
-            q.projection.append(("col", c))
+            q.projection.append(("col", src, cm.group("alias") or src))
     if not any(w[2] for w in q.windows.values()):
         raise SqlUnsupported("no window aggregates in projection")
     return q
@@ -254,15 +257,23 @@ def run_sql(spark, sql: str, tables):
     stitched on a synthetic row id — the ConcatJoin role); LAST JOIN
     queries lower to last_join."""
     sql, tables = canonicalize_tables(sql, tables)
+    limit = None
+    lm = re.search(r"\blimit\s+(\d+)\s*;?\s*$", sql, re.IGNORECASE)
+    if lm:
+        limit = int(lm.group(1))
+        sql = sql[:lm.start()] + ";"
     if re.search(r"last\s+join", sql, re.IGNORECASE):
-        return _run_lastjoin_sql(sql, tables)
-    return _run_window_sql(sql, tables)
+        out = _run_lastjoin_sql(sql, tables)
+    else:
+        out = _run_window_sql(sql, tables, limit=limit)
+        limit = None  # applied in input-row order inside
+    return out.limit(limit) if limit is not None else out
 
 
 _RID = "__sql_rid"
 
 
-def _run_window_sql(sql: str, tables: list):
+def _run_window_sql(sql: str, tables: list, limit: int | None = None):
     import pyspark.sql.functions as F
     from openmldb_spark.operators.window import window_agg
 
@@ -276,6 +287,10 @@ def _run_window_sql(sql: str, tables: list):
 
     keep = [_RID] + [e[1] for e in q.projection if e[0] == "col"]
     merged = primary.select(*dict.fromkeys(keep))
+    final_cols = [
+        F.col(e[1]).alias(e[2]) if e[0] == "col" else F.col(e[2].alias)
+        for e in q.projection
+    ]
     for wname, (spec, union_idx, aggs) in q.windows.items():
         if not aggs:
             continue
@@ -284,8 +299,11 @@ def _run_window_sql(sql: str, tables: list):
                          union=union or None, tier="kernel")
         merged = merged.join(out, _RID, "inner")
 
-    cols = [e[1] if e[0] == "col" else e[2].alias for e in q.projection]
-    return merged.select(*cols)
+    if limit is not None:
+        # LIMIT after a window query: deterministic first-N in input-row
+        # order (the reference iterates storage order)
+        merged = merged.orderBy(F.col(_RID)).limit(limit)
+    return merged.select(*final_cols)
 
 
 def _run_lastjoin_sql(sql: str, tables: list):

@@ -12,8 +12,8 @@ from yaml_harness import Unsupported, check_case, load_cases
 
 FILES = {
     # fname: minimum number of cases that must compile & pass
-    "test_window_row.yaml": 24,
-    "test_window_row_range.yaml": 44,
+    "test_window_row.yaml": 25,
+    "test_window_row_range.yaml": 45,
     "test_maxsize.yaml": 22,
     "test_window_exclude_current_time.yaml": 18,
     "test_window_union.yaml": 8,

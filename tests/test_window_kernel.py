@@ -399,3 +399,21 @@ try:
                         and abs(a - b) < 1e-9, (spec, f, a, b)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_string_date_min_max():
+    rows = [
+        dict(id=1, __ord=1000, s="banana", d="2020-05-03"),
+        dict(id=2, __ord=2000, s="apple", d="2020-05-01"),
+        dict(id=3, __ord=3000, s=None, d="2020-05-02"),
+        dict(id=4, __ord=4000, s="cherry", d=None),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=10)
+    out = run(rows, spec, [Agg("min", "s", "smin"), Agg("max", "s", "smax"),
+                           Agg("min", "d", "dmin"), Agg("max", "d", "dmax")])
+    assert list(out["smin"]) == ["banana", "apple", "apple", "apple"]
+    assert list(out["smax"]) == ["banana", "banana", "banana", "cherry"]
+    assert list(out["dmin"]) == ["2020-05-03", "2020-05-01", "2020-05-01",
+                                 "2020-05-01"]
+    assert list(out["dmax"]) == ["2020-05-03", "2020-05-03", "2020-05-03",
+                                 "2020-05-03"]

@@ -52,6 +52,10 @@ def _parse_value(v: str, typ: str):
 
 
 def _mk_named_df(spark, inp):
+    if "resource" in inp:
+        # resource files are the same {name, schema, data} table format
+        with open(f"/root/reference/{inp['resource']}") as f:
+            inp = yaml.safe_load(f)["table"]
     if "schema" not in inp or "data" not in inp:
         raise Unsupported("input without schema/data")
     cols = _parse_schema(inp["schema"])
@@ -74,10 +78,7 @@ def _load():
 
 def _check(spark, case):
     tables = dict(_mk_named_df(spark, inp) for inp in case["inputs"])
-    sql = str(case["sql"])
-    if re.search(r"\blimit\s+\d+", sql, re.IGNORECASE):
-        raise Unsupported("limit")
-    got = run_sql(spark, sql, tables).toPandas()
+    got = run_sql(spark, str(case["sql"]), tables).toPandas()
 
     exp = case["expect"]
     if "schema" not in exp or "data" not in exp:
@@ -145,4 +146,4 @@ def test_minimum_window_query_coverage(spark):
         except AssertionError as e:
             fails.append((case.get("id"), str(e)[:150]))
     assert not fails, fails
-    assert ok >= 8, f"only {ok} window_query cases supported"
+    assert ok >= 16, f"only {ok} window_query cases supported"

@@ -96,7 +96,7 @@ _RID = "__rid"
 
 def _run_window(pdf0, types0, inputs, spec, union_idx, aggs) -> pd.DataFrame:
     for a in aggs:
-        if a.func in ("sum", "avg", "min", "max", "top") and \
+        if a.func in ("sum", "avg", "top") and \
                 types0.get(a.col) in ("string", "date"):
             raise Unsupported(f"{a.func} over {types0.get(a.col)}")
 
@@ -135,17 +135,25 @@ def run_case(case: dict) -> pd.DataFrame:
     pdf0 = pdf0.copy()
     pdf0[_RID] = np.arange(len(pdf0))
 
-    merged = pdf0[[_RID] + [e[1] for e in proj_seq if e[0] == "col"]].copy()
+    merged = pdf0[[_RID] + list(dict.fromkeys(
+        e[1] for e in proj_seq if e[0] == "col"))].copy()
     for wname, (spec, union_idx, aggs) in windows.items():
         if not aggs:
             continue
         wout = _run_window(pdf0, types0, inputs, spec, union_idx, aggs)
         merged = merged.merge(wout, on=_RID, how="inner")
 
-    cols = []
+    out_cols, out_names = [], []
     for entry in proj_seq:
-        cols.append(entry[1] if entry[0] == "col" else entry[2].alias)
-    return merged[cols]
+        if entry[0] == "col":
+            out_cols.append(entry[1])
+            out_names.append(entry[2])
+        else:
+            out_cols.append(entry[2].alias)
+            out_names.append(entry[2].alias)
+    res = merged[out_cols].copy()
+    res.columns = out_names
+    return res
 
 
 def check_case(case: dict) -> None:
