@@ -92,12 +92,14 @@ def minhash_lsh_pairs(
     restricted to band-bucket collisions. Shuffles: one on band hash
     (candidate generation), one on id for the verify join."""
     n_hashes = bands * rows_per_band
-    # signatures feed three branches (banding + both verify sides):
-    # persist AND materialize eagerly — inside one job the branches race
-    # and each recomputes the un-landed cache blocks (measured 3x cost)
+    # Signatures feed three branches (banding + both verify sides). No
+    # persist here: caching array<string> columns costs more than the
+    # codegen'd map-only recomputation at bench scale, and persist
+    # without an eager action races across branches anyway. At real
+    # scale, materialize the signature table explicitly
+    # (minhash_signatures(...).write.parquet(...)) and join from that.
     sigs = minhash_signatures(df, text_col, id_col, n_hashes,
-                              shingle_k, hash_fn).persist()
-    sigs.count()
+                              shingle_k, hash_fn)
 
     def band_hash(b):
         cols = [F.col(f"sig{b * rows_per_band + r}")
