@@ -311,20 +311,39 @@ def _run_lastjoin_sql(sql: str, tables: list):
     from openmldb_spark.plans.specs import LastJoinSpec
     from openmldb_spark.operators.lastjoin import last_join
 
-    m = _LASTJOIN_RE.match(sql.strip().replace("\n", " "))
+    sql = sql.strip().replace("\n", " ")
+    if len(re.findall(r"last\s+join", sql, re.IGNORECASE)) > 1:
+        raise SqlUnsupported("multi-table LAST JOIN chain")
+    m = _LASTJOIN_RE.match(sql)
     if not m:
         raise SqlUnsupported("not a supported LAST JOIN query")
     left, right = tables[0], tables[1]
 
+    # projection: {t}.col refs, bare cols (resolved left-first), or
+    # arbitrary scalar expressions over both sides (lowered to F.expr)
     proj = []
-    for item in m.group("proj").split(","):
+    for item in split_projection(m.group("proj")):
+        item = item.strip()
         pm = re.fullmatch(
             r"\{(?P<t>\d)\}\.(?P<col>\w+)(?:\s+as\s+(?P<alias>\w+))?",
-            item.strip(), re.IGNORECASE)
-        if not pm:
-            raise SqlUnsupported(f"projection item {item.strip()!r}")
-        proj.append((int(pm.group("t")), pm.group("col"),
-                     pm.group("alias") or pm.group("col")))
+            item, re.IGNORECASE)
+        if pm:
+            proj.append((int(pm.group("t")), pm.group("col"),
+                         pm.group("alias") or pm.group("col")))
+            continue
+        bm = re.fullmatch(r"(?P<col>\w+)(?:\s+as\s+(?P<alias>\w+))?", item,
+                          re.IGNORECASE)
+        if bm:
+            proj.append(("bare", bm.group("col"),
+                         bm.group("alias") or bm.group("col")))
+            continue
+        em = re.fullmatch(r"(?P<expr>.+?)\s+as\s+(?P<alias>\w+)", item,
+                          re.IGNORECASE | re.DOTALL)
+        if not em:
+            raise SqlUnsupported(f"projection item {item!r}")
+        expr = re.sub(r"\{1\}\.(\w+)", r"r__\1", em.group("expr"))
+        expr = re.sub(r"\{0\}\.(\w+)", r"\1", expr)
+        proj.append(("expr", expr, em.group("alias")))
 
     right = right.select(*[F.col(c).alias(f"r__{c}") for c in right.columns])
     equi, residual = [], []
@@ -354,10 +373,18 @@ def _run_lastjoin_sql(sql: str, tables: list):
     right_on = [f"r__{r}" for _, r in equi]
     hidden = set(right_on) | ({f"r__{order}"} if order else set())
     need = {c for t, c, _ in proj if t == 1 and f"r__{c}" in hidden}
+    # hidden right cols referenced inside projection expressions
+    for t, body, _ in proj:
+        if t == "expr":
+            for rc in re.findall(r"\br__(\w+)\b", body):
+                if f"r__{rc}" in hidden:
+                    need.add(rc)
     cond_txt = " AND ".join(residual) if residual else None
     if cond_txt:
+        # equi keys AND the order column are aliased away inside
+        # last_join — residual refs to either need the rk__ duplicate
         for rc in re.findall(r"\br__(\w+)", cond_txt):
-            if f"r__{rc}" in right_on:
+            if f"r__{rc}" in hidden:
                 need.add(rc)
                 cond_txt = re.sub(rf"\br__{rc}\b", f"rk__{rc}", cond_txt)
     for c in need:
@@ -376,11 +403,27 @@ def _run_lastjoin_sql(sql: str, tables: list):
                   if c not in spec.right_on and c != spec.order_by]
     out = last_join(left, right, spec, right_cols=right_cols)
 
+    def _resolve(t, col):
+        if t == 0:
+            return col
+        if t == 1:
+            return f"r__{col}" if f"r__{col}" in out.columns else f"rk__{col}"
+        # bare: left column first, then right (the reference resolves
+        # unqualified names left-first)
+        if col in out.columns:
+            return col
+        return f"r__{col}" if f"r__{col}" in out.columns else f"rk__{col}"
+
     sel = []
     for t, col, alias in proj:
-        name = col if t == 0 else f"r__{col}"
-        if name not in out.columns and t == 1:
-            name = f"rk__{col}"
+        if t == "expr":
+            body = re.sub(
+                r"\br__(\w+)\b",
+                lambda mm: mm.group(0) if f"r__{mm.group(1)}" in out.columns
+                else f"rk__{mm.group(1)}", col)
+            sel.append(F.expr(body).alias(alias))
+            continue
+        name = _resolve(t, col)
         if name not in out.columns:
             raise SqlUnsupported(f"projected column {col!r} unavailable")
         sel.append(F.col(name).alias(alias))

@@ -92,7 +92,7 @@ def _check(spark, case):
     assert list(got.columns) == names, (list(got.columns), names)
     assert len(got) == len(erows), (len(got), len(erows))
 
-    grows = got.where(pd.notna(got), None).values.tolist()
+    grows = got.astype(object).where(pd.notna(got), None).values.tolist()
     order = exp.get("order")
     if order:
         oi = names.index(order)
