@@ -262,12 +262,57 @@ def run_sql(spark, sql: str, tables):
     if lm:
         limit = int(lm.group(1))
         sql = sql[:lm.start()] + ";"
-    if re.search(r"last\s+join", sql, re.IGNORECASE):
+    has_lj = bool(re.search(r"last\s+join", sql, re.IGNORECASE))
+    has_win = bool(re.search(r"\bWINDOW\b|\bOVER\b", sql, re.IGNORECASE))
+    if has_lj and has_win:
+        out = _run_lastjoin_window_sql(sql, tables, limit=limit)
+        limit = None
+    elif has_lj:
         out = _run_lastjoin_sql(sql, tables)
     else:
         out = _run_window_sql(sql, tables, limit=limit)
         limit = None  # applied in input-row order inside
     return out.limit(limit) if limit is not None else out
+
+
+def _run_lastjoin_window_sql(sql: str, tables: list, limit: int | None = None):
+    """LAST JOIN feeding windows in one statement (the reference's
+    canonical join-then-window shape, last_join_window_query.yaml):
+    rewrite into (1) a LAST JOIN keeping every column, (2) a window query
+    over the joined table with {1}.col refs mapped to the joined r__cols."""
+    import pyspark.sql.functions as F
+
+    if len(re.findall(r"last\s+join", sql, re.IGNORECASE)) > 1:
+        raise SqlUnsupported("multi-table LAST JOIN chain")
+    m = re.match(
+        r"^\s*select\s+(?P<proj>.*?)\s+from\s+\{0\}\s+last\s+join\s+\{1\}\s*"
+        r"(?:order\s+by\s+\{1\}\.(?P<ord>\w+)\s+)?on\s+(?P<cond>.*?)"
+        r"\s+(?P<windows>WINDOW\s+.*?)\s*;?\s*$",
+        sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise SqlUnsupported("combined LAST JOIN + WINDOW shape")
+
+    left, right = tables[0], tables[1]
+    ord_txt = f" ORDER BY {{1}}.{m.group('ord')}" if m.group("ord") else ""
+    # run the join keeping all columns: project every left col + every
+    # right col (prefixed) through the existing path
+    lcols = ", ".join(f"{{0}}.{c}" for c in left.columns)
+    rcols = ", ".join(f"{{1}}.{c} as __r2_{c}" for c in right.columns)
+    join_sql = (f"select {lcols}, {rcols} from {{0}} last join {{1}}"
+                f"{ord_txt} on {m.group('cond')} ;")
+    joined = _run_lastjoin_sql(join_sql, tables)
+    for c in right.columns:
+        joined = joined.withColumnRenamed(f"__r2_{c}", f"r__{c}")
+    # bare references resolve left-first; expose non-colliding right
+    # columns under their bare names too (e.g. `str1 as t2_str1`)
+    for c in right.columns:
+        if c not in left.columns:
+            joined = joined.withColumn(c, F.col(f"r__{c}"))
+
+    # window part over the joined table: {1}.col → r__col, {0}.col → col
+    win_sql = "SELECT " + m.group("proj") + " FROM {0} " + m.group("windows")
+    win_sql = re.sub(r"\{1\}\.(\w+)", r"{0}.r__\1", win_sql)
+    return _run_window_sql(win_sql, [joined], limit=limit)
 
 
 _RID = "__sql_rid"
