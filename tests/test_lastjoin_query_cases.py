@@ -24,7 +24,7 @@ def _params():
 
 @pytest.mark.parametrize("case", _params())
 def test_lastjoin_query_case(case, spark):
-    if case.get("mode") and "unsupport" in str(case["mode"]):
+    if case.get("mode") and ("batch-unsupport" in str(case["mode"]) or "offline-unsupport" in str(case["mode"])):
         pytest.skip("marked unsupported")
     if case.get("expect", {}).get("success") is False:
         pytest.skip("negative case")
@@ -37,7 +37,7 @@ def test_lastjoin_query_case(case, spark):
 def test_minimum_lastjoin_query_coverage(spark):
     ok, fails = 0, []
     for case in _load():
-        if case.get("mode") and "unsupport" in str(case["mode"]):
+        if case.get("mode") and ("batch-unsupport" in str(case["mode"]) or "offline-unsupport" in str(case["mode"])):
             continue
         if case.get("expect", {}).get("success") is False:
             continue

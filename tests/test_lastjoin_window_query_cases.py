@@ -19,7 +19,7 @@ def _load():
 @pytest.mark.parametrize(
     "case", [pytest.param(c, id=f"ljw::{c.get('id')}") for c in _load()])
 def test_lastjoin_window_case(case, spark):
-    if case.get("mode") and "unsupport" in str(case["mode"]):
+    if case.get("mode") and ("batch-unsupport" in str(case["mode"]) or "offline-unsupport" in str(case["mode"])):
         pytest.skip("marked unsupported")
     if case.get("expect", {}).get("success") is False:
         pytest.skip("negative case")
@@ -32,7 +32,7 @@ def test_lastjoin_window_case(case, spark):
 def test_minimum_lastjoin_window_coverage(spark):
     ok, fails = 0, []
     for case in _load():
-        if case.get("mode") and "unsupport" in str(case["mode"]):
+        if case.get("mode") and ("batch-unsupport" in str(case["mode"]) or "offline-unsupport" in str(case["mode"])):
             continue
         if case.get("expect", {}).get("success") is False:
             continue

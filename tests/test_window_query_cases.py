@@ -121,7 +121,7 @@ def _params():
 
 @pytest.mark.parametrize("case", _params())
 def test_window_query_case(case, spark):
-    if case.get("mode") and "unsupport" in str(case["mode"]):
+    if case.get("mode") and ("batch-unsupport" in str(case["mode"]) or "offline-unsupport" in str(case["mode"])):
         pytest.skip("marked unsupported")
     if case.get("expect", {}).get("success") is False:
         pytest.skip("negative case")
@@ -134,7 +134,7 @@ def test_window_query_case(case, spark):
 def test_minimum_window_query_coverage(spark):
     ok, fails = 0, []
     for case in _load():
-        if case.get("mode") and "unsupport" in str(case["mode"]):
+        if case.get("mode") and ("batch-unsupport" in str(case["mode"]) or "offline-unsupport" in str(case["mode"])):
             continue
         if case.get("expect", {}).get("success") is False:
             continue
