@@ -70,8 +70,11 @@ def last_join(
     joined = l.join(r, cond, "left")
 
     if spec.order_by:
+        # null order keys sort as +infinity: the corpus pins that an
+        # ascending LAST JOIN picks a null-ts right row over real
+        # timestamps (cases/function/window/test_maxsize.yaml:23-2)
         order = [
-            F.col("__r_ord").desc_nulls_last()
+            F.col("__r_ord").desc_nulls_first()
             if spec.ascending
             else F.col("__r_ord").asc_nulls_last()
         ]

@@ -49,6 +49,21 @@ def _order_col(df: DataFrame, order_by: str) -> Column:
 _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+def _coerce_union_col(u: DataFrame, name: str, want: T.DataType) -> Column:
+    """Align a WINDOW UNION frame's column type with the primary's —
+    OpenMLDB stores timestamps as int64 ms, so timestamp↔integer coerces
+    through milliseconds (not Spark's seconds-based cast)."""
+    have = u.schema[name].dataType
+    c = F.col(name)
+    if have == want:
+        return c
+    if isinstance(want, T.TimestampType) and isinstance(have, _INT_TYPES):
+        return F.timestamp_millis(c.cast("long")).alias(name)
+    if isinstance(want, _INT_TYPES) and isinstance(have, T.TimestampType):
+        return F.unix_millis(c).cast(want.simpleString()).alias(name)
+    return c.cast(want).alias(name)
+
+
 def _agg_field(agg: Agg, in_field: T.StructField | None) -> T.StructField:
     f = agg.func
     if f in ("count", "count_where", "distinct_count"):
@@ -128,9 +143,11 @@ def window_agg(
         .withColumn(ORD, _order_col(df, spec.order_by))
         .withColumn(PRIMARY, F.lit(1).cast("int"))
     )
+    prim_types = {f.name: f.dataType for f in df.schema.fields}
     for u in union or []:
         upart = (
-            u.select(*[c for c in needed_cols if c in u.columns])
+            u.select(*[_coerce_union_col(u, c, prim_types[c])
+                       for c in needed_cols if c in u.columns])
             .withColumn(ORD, _order_col(u, spec.order_by))
             .withColumn(PRIMARY, F.lit(0).cast("int"))
         )

@@ -151,11 +151,20 @@ class _SparseTable:
 
 
 def _factorize_sorted(s: pd.Series):
-    """Factorize to int codes with uniques sorted ascending by str form
-    (the reference's *_cate / top_n_frequency tie/emit order). Nulls → -1."""
+    """Factorize to int codes with uniques sorted ascending in NATIVE key
+    order — the reference's containers are std::map<StorageK> with
+    native-type comparison (BoundedGroupByDict, udf/containers.h), so
+    numeric category keys emit numerically (2 before 10) while string
+    keys emit lexicographically. Emit strings use _fmt_num so float-typed
+    keys from nullable int columns render as ints. Nulls → -1."""
     codes, uniques = pd.factorize(s.to_numpy(object))
-    uniq_str = np.array([str(u) for u in uniques], dtype=object)
-    order = np.argsort(uniq_str, kind="stable")
+    if pd.api.types.is_numeric_dtype(s) and len(uniques):
+        order = np.argsort(np.asarray(uniques, dtype=np.float64),
+                           kind="stable")
+        uniq_str = np.array([_fmt_num(u) for u in uniques], dtype=object)
+    else:
+        uniq_str = np.array([str(u) for u in uniques], dtype=object)
+        order = np.argsort(uniq_str, kind="stable")
     inv = np.empty(len(order), dtype=np.int64)
     inv[order] = np.arange(len(order))
     remapped = np.where(codes >= 0, inv[np.maximum(codes, 0)], -1)
@@ -197,17 +206,32 @@ def cat_counts(pdf, col, cond, idx_e, lo, hi, E, anchored):
     return counts, uniq
 
 
-def topn_freq_strings(counts: np.ndarray, uniq: np.ndarray, k: int) -> list:
-    """fz_topn_frequency emit: top-k keys by (count desc, key asc) as csv
-    (FZTopNFrequency, feature_zero_def.cc:438-554)."""
+def topn_freq_strings(counts: np.ndarray, uniq: np.ndarray, k: int,
+                      frame_n: np.ndarray) -> list:
+    """fz_topn_frequency emit: top-k keys by (count desc, key asc in native
+    order) as csv, padded with literal "NULL" entries up to k
+    (FZTopNFrequency::Output, feature_zero_def.cc:438-554). An EMPTY frame
+    emits "" (Update never ran, so top_n_ stays 0); a non-empty frame with
+    fewer than k present keys — including all-null-key frames — pads."""
+    k = min(max(int(k), 0), 1024)                 # MAXIMUM_TOPN
+    n = len(counts)
+    if k == 0:
+        return [""] * n
     if counts.shape[1] == 0:
-        return [""] * len(counts)
-    # columns are key-ascending; stable sort on -count → ties by key asc
+        return ["" if frame_n[r] == 0 else ",".join(["NULL"] * k)
+                for r in range(n)]
+    # columns are key-ascending (native order); stable sort on -count →
+    # ties by key asc, matching the reference's priority_queue cmp
     ordr = np.argsort(-counts, axis=1, kind="stable")[:, :k]
     top_counts = np.take_along_axis(counts, ordr, axis=1)
     out = []
-    for r in range(len(counts)):
-        keys = [str(uniq[c]) for c, n in zip(ordr[r], top_counts[r]) if n > 0]
+    for r in range(n):
+        if frame_n[r] == 0:
+            out.append("")
+            continue
+        keys = [str(uniq[c]) for c, n_ in zip(ordr[r], top_counts[r])
+                if n_ > 0]
+        keys += ["NULL"] * (k - len(keys))
         out.append(",".join(keys))
     return out
 
@@ -523,7 +547,8 @@ def group_window_features(
                 )
             else:
                 k = int(agg.param or 1)
-                out[alias] = topn_freq_strings(counts, uniq, k)
+                frame_n = hi - lo + anchored.astype(np.int64)
+                out[alias] = topn_freq_strings(counts, uniq, k, frame_n)
         elif f == "top":
             k = int(agg.param or 1)
             x, x_e, nn = numeric(col)

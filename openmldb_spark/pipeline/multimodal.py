@@ -67,6 +67,15 @@ def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:
     return np.resize(buf, (h, w, 3))
 
 
+def _meta_wh(metas) -> tuple[np.ndarray, np.ndarray]:
+    """Extract (width, height) arrays from a meta struct column."""
+    w = np.array([int(m["width"]) if m is not None else 8 for m in metas],
+                 dtype=np.int64)
+    h = np.array([int(m["height"]) if m is not None else 8 for m in metas],
+                 dtype=np.int64)
+    return w, h
+
+
 FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("n_bytes", T.IntegerType()),
@@ -91,21 +100,49 @@ def decode_features(df: DataFrame, decoder: str = "fake",
                     "real media decoding requires codec libraries "
                     "(Pillow/librosa/pyav) not present in this environment"
                 )
-            rows = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"]
-                w = int(meta["width"] if meta is not None else 8)
-                h = int(meta["height"] if meta is not None else 8)
-                px = _fake_decode(r["payload"], w, h).astype(np.float64)
-                histo, _ = np.histogram(px, bins=8, range=(0, 256))
-                rows.append({
-                    "media_id": r["media_id"],
-                    "n_bytes": len(r["payload"] or b""),
-                    "mean_px": float(px.mean()),
-                    "std_px": float(px.std()),
-                    "histo8": (histo / max(px.size, 1)).tolist(),
-                })
-            yield pd.DataFrame(rows)
+            n = len(pdf)
+            if n == 0:
+                continue
+            # Whole-batch vectorized pseudo-decode: the fake pixels are the
+            # payload bytes cyclically repeated to N = h*w*3, so every
+            # feature is a function of per-byte-value counts. One flat
+            # bincount over (row_id*256 + byte) covers the entire batch
+            # with no per-row Python.
+            payloads = [bytes(p) if p is not None else b""
+                        for p in pdf["payload"]]
+            w, h = _meta_wh(pdf["meta"])
+            L = np.array([len(p) for p in payloads], dtype=np.int64)
+            N = h * w * 3
+            allb = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            ids = np.repeat(np.arange(n, dtype=np.int64), L)
+            counts = np.bincount(ids * 256 + allb,
+                                 minlength=n * 256).reshape(n, 256)
+            Lsafe = np.maximum(L, 1)
+            full = N // Lsafe                      # complete cycles
+            rem = np.where(L == 0, 0, N % Lsafe)   # leading partial cycle
+            starts = np.concatenate(([0], np.cumsum(L)))[:-1]
+            offs = np.arange(allb.size, dtype=np.int64) - starts[ids]
+            pmask = offs < rem[ids]
+            pcounts = np.bincount((ids * 256 + allb)[pmask],
+                                  minlength=n * 256).reshape(n, 256)
+            tot = counts * full[:, None] + pcounts
+            empty = L == 0                         # zeros(h, w, 3) fallback
+            if empty.any():
+                tot[empty] = 0
+                tot[empty, 0] = N[empty]
+            vals = np.arange(256, dtype=np.int64)
+            s = tot @ vals
+            ss = tot @ (vals * vals)
+            mean = s / N
+            std = np.sqrt(np.maximum(ss / N - mean * mean, 0.0))
+            histo = tot.reshape(n, 8, 32).sum(axis=2) / N[:, None]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "n_bytes": L.astype(np.int32),
+                "mean_px": mean,
+                "std_px": std,
+                "histo8": list(histo),
+            })
 
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
@@ -125,17 +162,19 @@ def resize(df: DataFrame, out_w: int, out_h: int,
             if decoder == "real":
                 raise NotImplementedError("real decoder not available")
             rows = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"]
+            # per-item loop is intrinsic to codec work (real decoders are
+            # per-image); bookkeeping stays columnar via zip, not iterrows
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
                 w = int(meta["width"] if meta is not None else 8)
                 h = int(meta["height"] if meta is not None else 8)
-                px = _fake_decode(r["payload"], w, h)
+                px = _fake_decode(payload, w, h)
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
                 rs = px[np.ix_(yi, xi)]
                 new_meta = dict(meta) if meta is not None else {}
                 new_meta.update({"width": out_w, "height": out_h})
-                rows.append({"media_id": r["media_id"],
+                rows.append({"media_id": mid,
                              "payload": rs.tobytes(), "meta": new_meta})
             yield pd.DataFrame(rows)
 
@@ -159,16 +198,17 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
             if decoder == "real":
                 raise NotImplementedError("real decoder not available")
             rows = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"]
+            # per-item loop is intrinsic (real frame extraction is per-video)
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
                 dur = int(meta["duration_ms"] if meta is not None else 0)
-                payload = r["payload"] or b""
+                payload = payload or b""
                 n = max(1, dur // every_ms)
                 for i in range(int(n)):
                     lo = (i * len(payload)) // n
                     hi = ((i + 1) * len(payload)) // n
                     rows.append({
-                        "media_id": r["media_id"], "frame_idx": i,
+                        "media_id": mid, "frame_idx": i,
                         "frame_ms": i * every_ms,
                         "frame_bytes": payload[lo:hi],
                     })

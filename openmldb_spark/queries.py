@@ -552,7 +552,7 @@ SQL_TOPN_FREQUENCY = transcripts_sql(f"""
 ), agg AS (
   SELECT conv_id, turn_idx,
          STRING_AGG(tool, ',' ORDER BY rk) AS top_tools,
-         CAST(COUNT(*) AS BIGINT) AS n_tools
+         COUNT(*) AS cnt
   FROM ranked WHERE rk <= 2 GROUP BY 1, 2
 ), nt AS (
   SELECT t.conv_id, t.turn_idx, COUNT(DISTINCT h.tool) AS n_tools
@@ -561,8 +561,12 @@ SQL_TOPN_FREQUENCY = transcripts_sql(f"""
    AND h.ts_ms <= t.ts_ms AND h.ts_ms >= t.ts_ms - {HOUR}
   GROUP BY 1, 2
 )
+-- frame always holds the anchor row, so fz_topn_frequency pads with
+-- literal NULL entries up to k=2 (FZTopNFrequency::Output)
 SELECT n.conv_id, n.turn_idx,
-       COALESCE(a.top_tools, '') AS top_tools,
+       ltrim(COALESCE(a.top_tools, '')
+             || repeat(',NULL', 2 - CAST(COALESCE(a.cnt, 0) AS INT)),
+             ',') AS top_tools,
        n.n_tools
 FROM nt n LEFT JOIN agg a
   ON a.conv_id = n.conv_id AND a.turn_idx = n.turn_idx
@@ -1057,12 +1061,72 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode plumbing (fake decoder; see pipeline/multimodal.py).
-    Rows-only check; batch/schema exactness covered by unit tests."""
+
+    Fully oracle-checked: the fake decode is cyclic byte repetition of the
+    utf-8 payload to h*w*3 pseudo-pixels, so every feature is a function
+    of per-byte-value counts that DuckDB can reproduce from ascii codes
+    (documents.text is pure ASCII in the test corpus). The histo8 array is
+    projected into scalar h0..h7 columns so the driver canonicalizer can
+    sort rows. Both engines compute std as sqrt(E[x^2] - mean^2) over
+    identical exact-integer sums, so the doubles match bitwise pre-round."""
     from openmldb_spark.pipeline.multimodal import (decode_features,
                                                     synthetic_media)
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = synthetic_media(d, "text", "doc_id")
-    return decode_features(media, decoder="fake")
+    feats = decode_features(media, decoder="fake")
+    return feats.select(
+        "media_id", "n_bytes",
+        F.round("mean_px", 4).alias("mean_px"),
+        F.round("std_px", 4).alias("std_px"),
+        *[F.round(F.col("histo8")[i], 6).alias(f"h{i}") for i in range(8)],
+    )
+
+
+_MM_HBINS = ",\n    ".join(
+    f"sum(CASE WHEN b // 32 = {k} THEN 1 ELSE 0 END) AS c{k},\n    "
+    f"sum(CASE WHEN i <= rem AND b // 32 = {k} THEN 1 ELSE 0 END) AS p{k}"
+    for k in range(8))
+_MM_HOUT = ",\n  ".join(
+    f"ROUND((f*c{k} + p{k}) / CAST(N AS DOUBLE), 6) AS h{k}"
+    for k in range(8))
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id, text, length(text) AS L,
+         (length(text) % 64 + 8) AS w,
+         (length(text) % 48 + 8) AS h
+  FROM documents
+), d AS (
+  SELECT doc_id, text, L,
+         CAST(w*h*3 AS BIGINT) AS N,
+         CAST((w*h*3) // L AS BIGINT) AS f,
+         CAST((w*h*3) % L AS BIGINT) AS rem
+  FROM m
+), e AS (
+  SELECT doc_id, N, f, rem, text,
+         unnest(range(1, L + 1)) AS i
+  FROM d
+), v AS (
+  SELECT doc_id, N, f, rem, i,
+         CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS b
+  FROM e
+), a AS (
+  SELECT doc_id, max(N) AS N, max(f) AS f, count(*) AS L,
+    sum(b) AS s, sum(b*b) AS ss,
+    sum(CASE WHEN i <= rem THEN b ELSE 0 END) AS ps,
+    sum(CASE WHEN i <= rem THEN b*b ELSE 0 END) AS pss,
+    {_MM_HBINS}
+  FROM v GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(L AS INT) AS n_bytes,
+  ROUND((f*s + ps) / CAST(N AS DOUBLE), 4) AS mean_px,
+  ROUND(sqrt(greatest(
+      (f*ss + pss) / CAST(N AS DOUBLE)
+      - ((f*s + ps) / CAST(N AS DOUBLE)) * ((f*s + ps) / CAST(N AS DOUBLE)),
+      0.0)), 4) AS std_px,
+  {_MM_HOUT}
+FROM a
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1144,6 +1208,6 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": SQL_MINHASH_LSH,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
-    # simhash_near_pairs / multimodal_features: intentionally no oracle
-    # (non-SQL-expressible hash / binary decode) → rows-only check
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    # simhash_near_pairs: intentionally no oracle yet (hash fn) → rows-only
 }

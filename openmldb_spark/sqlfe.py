@@ -1,21 +1,27 @@
-"""SQL front end — compile OpenMLDB window/LAST JOIN SQL to engine ops.
+"""SQL front end — compile OpenMLDB SQL to engine ops / Spark SQL.
 
-Covers the offline feature-SQL surface the reference's case corpus uses
-(the same subset the YAML harnesses exercise):
+Four statement shapes, dispatched by ``run_sql``:
 
-    SELECT <col | agg(args) OVER wN [AS alias]>... FROM {0}
-    WINDOW wN AS ([UNION {i},{j}] PARTITION BY <cols> ORDER BY <col>
-                  ROWS|ROWS_RANGE BETWEEN <bound> AND <bound>
-                  [MAXSIZE n] [EXCLUDE CURRENT_TIME]
-                  [INSTANCE_NOT_IN_WINDOW]) [, w2 AS (...)]
+1. Window queries (``... WINDOW w AS (...)`` / anonymous ``OVER (...)``):
+   lowered to window_agg (Arrow kernel) with expression projections over
+   the aggregates evaluated by Catalyst (``F.expr``).
+2. LAST JOIN queries (single or multi-table chains): lowered to the
+   last_join operator, applied left-to-right like the reference's
+   recursive JoinPlan dispatch (JoinPlan.scala:39-44).
+3. Combined LAST JOIN → WINDOW statements: join keeping all columns,
+   then the window query over the joined table.
+4. Everything else (plain SELECT / WHERE / GROUP BY / HAVING / DISTINCT
+   / ORDER BY / sub-selects / CASE WHEN...): translated to Spark SQL and
+   delegated to Catalyst — the Spark-first path; only OpenMLDB-specific
+   function names are rewritten (``_SQL_FN`` templates).
 
-    SELECT <{t}.col [AS alias]>... FROM {0} LAST JOIN {1}
-    [ORDER BY {1}.col] ON <equi/residual conds>
+Tables are positional ``{0}``/``{1}``… refs or a {name: DataFrame} dict
+(named tables, like the reference corpus). Sub-selects in FROM and in
+WINDOW UNION lists are inlined first: each ``(select ... from {i})``
+becomes a new positional table computed with ``selectExpr``.
 
-Tables are positional: ``{0}`` is the primary DataFrame, ``{1}``… are
-union/join tables. ``run_sql(spark, sql, [df0, df1, ...])`` executes on
-Spark via window_agg / last_join; grammar sources:
-/root/reference/docs/zh/reference/sql/dql/WINDOW_CLAUSE.md, JOIN_CLAUSE.md.
+Grammar sources: /root/reference/docs/zh/reference/sql/dql/
+WINDOW_CLAUSE.md, JOIN_CLAUSE.md; hybridse/src/planv2/ast_node_converter.cc.
 """
 
 from __future__ import annotations
@@ -32,11 +38,12 @@ class SqlUnsupported(Exception):
 
 
 _SQL_RE = re.compile(
-    r"^\s*SELECT\s+(?P<proj>.*?)\s+FROM\s+\{0\}\s+WINDOW\s+(?P<wins>.*?)\s*"
-    r";?\s*$",
+    r"^\s*SELECT\s+(?P<proj>.*?)\s+FROM\s+\{(?P<prim>\d+)\}\s+"
+    r"WINDOW\s+(?P<wins>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_WINDEF_RE = re.compile(r"(\w+)\s+AS\s*\(([^()]*)\)", re.DOTALL)
+_WINDEF_RE = re.compile(r"(\w+)\s+AS\s*\(([^()]*)\)",
+                        re.DOTALL | re.IGNORECASE)
 _WIN_RE = re.compile(
     r"^\s*(?:UNION\s+(?P<union>[^P]*?)\s+)?"
     r"PARTITION\s+BY\s+(?P<part>.*?)\s+"
@@ -45,11 +52,6 @@ _WIN_RE = re.compile(
     r"(?P<start>.*?)\s+AND\s+(?P<end>CURRENT\s+ROW|.*?PRECEDING)"
     r"(?P<tail>.*)$",
     re.IGNORECASE | re.DOTALL,
-)
-_AGG_RE = re.compile(
-    r"^(?P<fn>\w+)\s*\(\s*(?P<args>[^)]*)\)\s+OVER\s+(?P<win>\w+)\s+"
-    r"(?:AS\s+)?(?P<alias>\w+)$",
-    re.IGNORECASE,
 )
 _LASTJOIN_RE = re.compile(
     r"^\s*select\s+(?P<proj>.*?)\s+from\s+\{0\}\s+last\s+join\s+\{1\}\s*"
@@ -61,6 +63,194 @@ _LASTJOIN_RE = re.compile(
 def _strip_t(expr: str) -> str:
     return re.sub(r"\{\d+\}\.", "", expr).strip()
 
+
+# --------------------------------------------------------------------------
+# String/paren-aware text utilities
+# --------------------------------------------------------------------------
+
+def _skip_str(text: str, i: int) -> int:
+    """text[i] is a quote; return index just past the closing quote."""
+    q = text[i]
+    j = i + 1
+    while j < len(text):
+        if text[j] == "\\":
+            j += 2
+            continue
+        if text[j] == q:
+            return j + 1
+        j += 1
+    return j
+
+
+def split_projection(proj: str) -> list[str]:
+    """Split on top-level commas (paren- and quote-aware)."""
+    out, depth, cur, i = [], 0, [], 0
+    while i < len(proj):
+        ch = proj[i]
+        if ch in "'\"":
+            j = _skip_str(proj, i)
+            cur.append(proj[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def _match_paren(text: str, i: int) -> int:
+    """text[i] == '('; return index of the matching ')' (quote-aware)."""
+    depth = 0
+    while i < len(text):
+        ch = text[i]
+        if ch in "'\"":
+            i = _skip_str(text, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise SqlUnsupported(f"unbalanced parens in {text!r}")
+
+
+def rewrite_calls(text: str, handler) -> str:
+    """Rewrite every function call ``name(args)`` bottom-up.
+
+    ``handler(name, args: list[str]) -> str | None`` — None keeps the
+    call (with already-rewritten args). Quote-aware; identifiers not
+    followed by '(' pass through untouched."""
+    out, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = _skip_str(text, i)
+            out.append(text[i:j])
+            i = j
+            continue
+        m = re.match(r"[A-Za-z_]\w*", text[i:])
+        if m:
+            name = m.group(0)
+            j = i + len(name)
+            k = j
+            while k < n and text[k].isspace():
+                k += 1
+            if k < n and text[k] == "(":
+                p = _match_paren(text, k)
+                inner = text[k + 1:p]
+                args = [rewrite_calls(a, handler).strip()
+                        for a in split_projection(inner)] if inner.strip() \
+                    else []
+                rep = handler(name.lower(), args)
+                out.append(rep if rep is not None
+                           else f"{name}({', '.join(args)})")
+                i = p + 1
+                continue
+            out.append(name)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# OpenMLDB → Spark SQL expression translation
+# --------------------------------------------------------------------------
+
+# Function-name templates where Spark's SQL surface differs from
+# OpenMLDB's (default_udf_library.cc registrations). Identical names
+# (sum, min, concat, substr, abs, year, coalesce, mod, nvl, ifnull,
+# isnull, lcase, ucase, char_length, like/ilike operators, all
+# function-style casts int/bigint/smallint/float/double/string/date/
+# timestamp...) pass through to Catalyst untouched.
+_SQL_FN: dict = {
+    "bool": lambda a: f"boolean({a})",
+    "int16": lambda a: f"smallint({a})",
+    "int32": lambda a: f"int({a})",
+    "int64": lambda a: f"bigint({a})",
+    "is_null": lambda a: f"isnull({a})",
+    "if_null": lambda a, b: f"nvl({a}, {b})",
+    "minimum": lambda a, b: f"least({a}, {b})",
+    "maximum": lambda a, b: f"greatest({a}, {b})",
+    "inc": lambda a: f"(({a}) + 1)",
+    "identity": lambda a: f"({a})",
+    "char": lambda a: f"chr({a})",
+    "strcmp": lambda a, b: (
+        f"(CASE WHEN ({a}) < ({b}) THEN -1 "
+        f"WHEN ({a}) > ({b}) THEN 1 ELSE 0 END)"),
+    "truncate": lambda a: (
+        f"double(CASE WHEN ({a}) < 0 THEN ceil({a}) ELSE floor({a}) END)"),
+    "like_match": lambda *a: _like_tpl("LIKE", *a),
+    "ilike_match": lambda *a: _like_tpl("ILIKE", *a),
+    "fz_split": lambda a, b: f"split({a}, {b})",
+    "fz_split_by_key": lambda a, b, c: f"map_keys(str_to_map({a}, {b}, {c}))",
+    "fz_split_by_value": lambda a, b, c:
+        f"map_values(str_to_map({a}, {b}, {c}))",
+    "fz_join": lambda a, b: f"array_join({a}, {b})",
+    # OpenMLDB pins string/date <-> timestamp conversion to UTC+8
+    # (constexpr TZ = 8, hybridse/src/udf/udf.cc:54,707-760) and integer
+    # inputs are epoch MILLISECONDS (Spark's cast is seconds). typeof()
+    # dispatches per input type; all branches analyze as timestamp.
+    "timestamp": lambda a: (
+        f"(CASE WHEN typeof({a}) IN ('string', 'date') "
+        f"THEN to_utc_timestamp(cast({a} as timestamp), '+08:00') "
+        f"WHEN typeof({a}) IN ('tinyint', 'smallint', 'int', 'bigint') "
+        f"THEN timestamp_millis(cast({a} as bigint)) "
+        f"ELSE cast({a} as timestamp) END)"),
+    "date": lambda a: (
+        f"(CASE WHEN typeof({a}) = 'timestamp' "
+        f"THEN cast(from_utc_timestamp({a}, '+08:00') as date) "
+        f"ELSE cast({a} as date) END)"),
+    "cast": lambda a: _cast_tpl(a),
+}
+
+_CAST_TYPES = {"int16": "smallint", "int32": "int", "int64": "bigint",
+               "bool": "boolean"}
+
+
+def _cast_tpl(arg: str) -> str | None:
+    """``cast(x AS type)`` — route timestamp/date targets through the
+    UTC+8/milliseconds templates; normalize OpenMLDB type names."""
+    m = re.fullmatch(r"(?s)(.+?)\s+as\s+(\w+)", arg.strip(), re.IGNORECASE)
+    if not m:
+        return None
+    inner, typ = m.group(1), m.group(2).lower()
+    if typ in ("timestamp", "date"):
+        return _SQL_FN[typ](inner)
+    return f"cast({inner} as {_CAST_TYPES.get(typ, typ)})"
+
+
+def _like_tpl(op: str, s: str, pat: str, esc: str | None = None) -> str:
+    """like_match/ilike_match (default_udf_library.cc:699-857): 2-arg and
+    3-arg (escape char) forms; NULL pattern/escape → NULL result."""
+    if esc is None:
+        return f"(({s}) {op} ({pat}))"
+    # empty-string escape disables escaping (reference EscapeLikeMatch)
+    return (f"(CASE WHEN ({esc}) = '' THEN (({s}) {op} ({pat})) "
+            f"ELSE (({s}) {op} ({pat}) ESCAPE ({esc})) END)")
+
+
+def translate_expr(text: str) -> str:
+    """OpenMLDB scalar expression text → Spark SQL text. Operators
+    (`==`, `!=`, `!`, arithmetic, CASE WHEN) parse natively in Spark."""
+    return rewrite_calls(text, lambda n, a: _SQL_FN[n](*a)
+                         if n in _SQL_FN else None)
+
+
+# --------------------------------------------------------------------------
+# Window-SQL compilation
+# --------------------------------------------------------------------------
 
 def _parse_bound(txt: str, frame: str):
     txt = txt.strip()
@@ -79,29 +269,13 @@ def _parse_bound(txt: str, frame: str):
     return parse_time_ms(v), is_open
 
 
-def split_projection(proj: str) -> list[str]:
-    out, depth, cur = [], 0, []
-    for ch in proj:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    out.append("".join(cur))
-    return out
-
-
 def compile_window_clause(body: str) -> tuple[WindowSpec, list[int]]:
     """One window definition body → (WindowSpec, union table indices)."""
     wm = _WIN_RE.match(body.strip())
     if not wm:
         raise SqlUnsupported(f"window clause {body!r}")
     if wm.group("union") and "(" in (wm.group("union") or ""):
-        raise SqlUnsupported("sub-select in WINDOW UNION")
+        raise SqlUnsupported("sub-select in WINDOW UNION (inline first)")
 
     frame = "rows_range" if wm.group("frame").lower() == "rows_range" else "rows"
     start, start_open = _parse_bound(wm.group("start"), frame)
@@ -147,9 +321,12 @@ def compile_window_clause(body: str) -> tuple[WindowSpec, list[int]]:
 @dataclass
 class WindowQuery:
     # output order: ("col", src, alias) | ("agg", window_name, Agg)
+    #             | ("expr", spark_sql_text, alias)  — text references
+    #               __e{k} agg placeholders and primary columns
     projection: list[tuple] = field(default_factory=list)
     # window name → (spec, union_idx, aggs)
     windows: dict = field(default_factory=dict)
+    primary_idx: int = 0
 
 
 def _lift_anonymous_windows(sql: str) -> str:
@@ -174,13 +351,118 @@ def _lift_anonymous_windows(sql: str) -> str:
     return new
 
 
+def _parse_agg_call(fn: str, argtxt: str) -> tuple[str, str, int | None]:
+    """One kernel aggregate call → (func, col, param)."""
+    fn = fn.lower()
+    if fn == "fz_topn_frequency":
+        fn = "top_n_frequency"
+    args = [a.strip() for a in split_projection(argtxt)] if argtxt.strip() \
+        else []
+    if fn not in KERNEL_AGG_FUNCS:
+        raise SqlUnsupported(f"aggregate {fn!r}")
+    col = _strip_t(args[0]) if args else ""
+    if not re.fullmatch(r"\w+", col):
+        raise SqlUnsupported(f"aggregate argument {args[0]!r}")
+    param = None
+    if fn in ("lag", "at", "top", "top_n_frequency") and len(args) > 1:
+        param = int(args[1])
+    elif len(args) > 1:
+        raise SqlUnsupported(f"aggregate arguments {fn}({argtxt})")
+    return fn, col, param
+
+
+class _AggAlloc:
+    """Dedup-and-allocate kernel aggregates across projection items."""
+
+    def __init__(self, windows: dict):
+        self.windows = windows
+        self.seen: dict[tuple, str] = {}
+
+    def get(self, wname: str, fn: str, col: str, param) -> str:
+        if wname not in self.windows:
+            raise SqlUnsupported(f"unknown window {wname!r}")
+        key = (wname, fn, col, param)
+        if key not in self.seen:
+            alias = f"__e{len(self.seen)}"
+            self.seen[key] = alias
+            self.windows[wname][2].append(
+                Agg(fn, col, alias, param=param))
+        return self.seen[key]
+
+
+def _extract_window_aggs(item: str, alloc: _AggAlloc) -> str:
+    """Replace every ``fn(args) OVER wname`` in the item with an __e{k}
+    placeholder, registering the aggregate with its window.
+
+    A non-kernel function with OVER (e.g. ``identity(case when lag(..)
+    ... end) over w``) binds every kernel-agg call inside its arguments
+    to that window — the reference resolves nested window functions
+    against the enclosing OVER (ast_node_converter.cc window exprs)."""
+    out, i, n = [], 0, len(item)
+    while i < n:
+        ch = item[i]
+        if ch in "'\"":
+            j = _skip_str(item, i)
+            out.append(item[i:j])
+            i = j
+            continue
+        m = re.match(r"[A-Za-z_]\w*", item[i:])
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        name = m.group(0)
+        j = i + len(name)
+        k = j
+        while k < n and item[k].isspace():
+            k += 1
+        if k >= n or item[k] != "(":
+            out.append(name)
+            i = j
+            continue
+        p = _match_paren(item, k)
+        om = re.match(r"\s+OVER\s+(\w+)", item[p + 1:], re.IGNORECASE)
+        if not om:
+            # plain call: recurse into args for nested `agg OVER w`
+            inner = _extract_window_aggs(item[k + 1:p], alloc)
+            out.append(f"{name}({inner})")
+            i = p + 1
+            continue
+        wname = om.group(1)
+        argtxt = item[k + 1:p]
+        lname = name.lower()
+        if lname in KERNEL_AGG_FUNCS or lname == "fz_topn_frequency":
+            fn, col, param = _parse_agg_call(lname, argtxt)
+            out.append(alloc.get(wname, fn, col, param))
+        else:
+            bound = _bind_nested_aggs(argtxt, wname, alloc)
+            out.append(f"{name}({bound})")
+        i = p + 1 + om.end()
+    return "".join(out)
+
+
+def _bind_nested_aggs(text: str, wname: str, alloc: _AggAlloc) -> str:
+    """Bind bare kernel-agg calls inside `text` to window `wname`."""
+
+    def handler(n, args):
+        if n in KERNEL_AGG_FUNCS or n == "fz_topn_frequency":
+            fn, col, param = _parse_agg_call(n, ", ".join(args))
+            return alloc.get(wname, fn, col, param)
+        return None
+
+    return rewrite_calls(text, handler)
+
+
 def compile_window_sql(sql: str) -> WindowQuery:
     sql = sql.strip().replace("\n", " ")
     sql = _lift_anonymous_windows(sql)
+    # strip a `FROM {i} AS alias` table alias (refs use bare col names)
+    sql = re.sub(r"(FROM\s+\{\d+\})\s+as\s+\w+", r"\1", sql,
+                 flags=re.IGNORECASE)
     m = _SQL_RE.match(sql)
     if not m:
-        raise SqlUnsupported("not a SELECT ... FROM {0} WINDOW ... query")
-    q = WindowQuery()
+        raise SqlUnsupported("not a SELECT ... FROM {i} WINDOW ... query")
+    q = WindowQuery(primary_idx=int(m.group("prim")))
     wins_txt = m.group("wins")
     consumed = wins_txt
     for name, body in _WINDEF_RE.findall(wins_txt):
@@ -192,31 +474,12 @@ def compile_window_sql(sql: str) -> WindowQuery:
     if not q.windows:
         raise SqlUnsupported("no window definitions")
 
+    alloc = _AggAlloc(q.windows)
     for item in split_projection(m.group("proj")):
         item = item.strip()
-        am = _AGG_RE.match(item)
-        if am:
-            fn = am.group("fn").lower()
-            wname = am.group("win")
-            if wname not in q.windows:
-                raise SqlUnsupported(f"unknown window {wname!r}")
-            args = [a.strip() for a in am.group("args").split(",")]
-            col = _strip_t(args[0])
-            param = None
-            if fn in ("lag", "at") and len(args) > 1:
-                param = int(args[1])
-            elif fn in ("top", "top_n_frequency", "fz_topn_frequency") \
-                    and len(args) > 1:
-                param = int(args[1])
-                fn = "top_n_frequency" if fn == "fz_topn_frequency" else fn
-            elif len(args) > 1:
-                raise SqlUnsupported(f"aggregate arguments {item!r}")
-            if fn not in KERNEL_AGG_FUNCS:
-                raise SqlUnsupported(f"aggregate {fn!r}")
-            agg = Agg(fn, col, am.group("alias"), param=param)
-            q.windows[wname][2].append(agg)
-            q.projection.append(("agg", wname, agg))
-        else:
+        rewritten = _extract_window_aggs(item, alloc)
+        if rewritten == item:
+            # no window aggregates: plain column (with optional alias)
             cm = re.fullmatch(
                 r"(?P<src>\S+?)(?:\s+as\s+(?P<alias>\w+))?", item,
                 re.IGNORECASE)
@@ -224,6 +487,34 @@ def compile_window_sql(sql: str) -> WindowQuery:
             if not re.fullmatch(r"\w+", src):
                 raise SqlUnsupported(f"projection item {item!r}")
             q.projection.append(("col", src, cm.group("alias") or src))
+            continue
+        # alias: trailing `AS name`; default = source-derived name the way
+        # OpenMLDB generates it — "sum(c4)over w1"
+        # (cases/function/window/test_window_row.yaml:18)
+        am = re.fullmatch(r"(?P<body>.+?)\s+as\s+(?P<alias>\w+)",
+                          rewritten, re.IGNORECASE | re.DOTALL)
+        body = am.group("body") if am else rewritten
+        if am:
+            alias = am.group("alias")
+        else:
+            alias = re.sub(r"\)\s*OVER\s+", ")over ", _strip_t(item),
+                           flags=re.IGNORECASE)
+        body = body.strip()
+        if re.fullmatch(r"__e\d+", body):
+            # single aggregate: emit directly under its user alias
+            key = next(kk for kk, v in alloc.seen.items() if v == body)
+            wname, fn, col, param = key
+            # re-alias the registered Agg to the user-facing name
+            aggs = q.windows[wname][2]
+            for idx, a in enumerate(aggs):
+                if a.alias == body:
+                    aggs[idx] = Agg(fn, col, alias, param=param,
+                                    cond=a.cond, cate=a.cate)
+                    alloc.seen[key] = alias
+                    q.projection.append(("agg", wname, aggs[idx]))
+                    break
+            continue
+        q.projection.append(("expr", translate_expr(body), alias))
     if not any(w[2] for w in q.windows.values()):
         raise SqlUnsupported("no window aggregates in projection")
     return q
@@ -238,15 +529,52 @@ def canonicalize_tables(sql: str, tables) -> tuple[str, list]:
     if not isinstance(tables, dict):
         return sql, list(tables)
     ordered = list(tables.items())
-    for i, (name, _) in enumerate(ordered):
-        sql = re.sub(rf"\b{re.escape(name)}\s*\.", f"{{{i}}}.", sql)
-        sql = re.sub(rf"(\bFROM\s+){re.escape(name)}\b", rf"\g<1>{{{i}}}",
-                     sql, flags=re.IGNORECASE)
-        sql = re.sub(rf"(\bjoin\s+){re.escape(name)}\b", rf"\g<1>{{{i}}}",
-                     sql, flags=re.IGNORECASE)
-        sql = re.sub(rf"(\bUNION\s+(?:\{{\d+\}}\s*,\s*)*){re.escape(name)}\b",
-                     rf"\g<1>{{{i}}}", sql, flags=re.IGNORECASE)
+    # loop to fixpoint: the UNION-list pattern only matches names preceded
+    # by already-canonicalized {i} refs, so an out-of-dict-order union
+    # list (e.g. `UNION t2,t1`) needs a second pass
+    for _ in range(len(ordered) + 1):
+        before = sql
+        for i, (name, _) in enumerate(ordered):
+            sql = re.sub(rf"\b{re.escape(name)}\s*\.", f"{{{i}}}.", sql)
+            sql = re.sub(rf"(\bFROM\s+){re.escape(name)}\b", rf"\g<1>{{{i}}}",
+                         sql, flags=re.IGNORECASE)
+            sql = re.sub(rf"(\bjoin\s+){re.escape(name)}\b", rf"\g<1>{{{i}}}",
+                         sql, flags=re.IGNORECASE)
+            sql = re.sub(
+                rf"(\bUNION\s+(?:[(\s]|\{{\d+\}}\s*,\s*)*){re.escape(name)}\b",
+                rf"\g<1>{{{i}}}", sql, flags=re.IGNORECASE)
+        if sql == before:
+            break
     return sql, [df for _, df in ordered]
+
+
+def _inline_subselects(spark, sql: str, tables: list) -> tuple[str, list]:
+    """Replace every ``(select ... from {i})`` block with a fresh
+    positional table computed via selectExpr (covers sub-selects in FROM
+    and in WINDOW UNION lists — WINDOW_CLAUSE.md:175-217)."""
+    while True:
+        m = re.search(r"\(\s*select\b", sql, re.IGNORECASE)
+        if not m:
+            return sql, tables
+        start = m.start()
+        end = _match_paren(sql, start)
+        inner = sql[start + 1:end]
+        df = _run_simple_select(spark, inner, tables)
+        tables = tables + [df]
+        sql = f"{sql[:start]}{{{len(tables) - 1}}}{sql[end + 1:]}"
+
+
+def _run_simple_select(spark, sql: str, tables: list):
+    """``select <exprs> from {i}`` (no WHERE/GROUP/...) → selectExpr."""
+    m = re.fullmatch(r"\s*select\s+(?P<proj>.*?)\s+from\s+\{(?P<i>\d+)\}\s*",
+                     sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        # full sub-query (WHERE etc.): delegate to the plain-SQL path
+        return _run_plain_sql(spark, sql, tables)
+    df = tables[int(m.group("i"))]
+    items = [translate_expr(_strip_t(p)) for p in
+             split_projection(m.group("proj"))]
+    return df.selectExpr(*items)
 
 
 def run_sql(spark, sql: str, tables):
@@ -255,24 +583,36 @@ def run_sql(spark, sql: str, tables):
 
     Window queries lower to window_agg (one kernel pass per window spec,
     stitched on a synthetic row id — the ConcatJoin role); LAST JOIN
-    queries lower to last_join."""
+    queries lower to last_join; anything else runs as translated Spark
+    SQL over temp views."""
     sql, tables = canonicalize_tables(sql, tables)
+    has_lj = bool(re.search(r"last\s+join", sql, re.IGNORECASE))
+    has_win = bool(re.search(r"\bWINDOW\b|\bOVER\b", sql, re.IGNORECASE))
+    if not has_lj and not has_win:
+        return _run_plain_sql(spark, sql, tables)
+
+    sql, tables = _inline_subselects(spark, sql, tables)
     limit = None
     lm = re.search(r"\blimit\s+(\d+)\s*;?\s*$", sql, re.IGNORECASE)
     if lm:
         limit = int(lm.group(1))
         sql = sql[:lm.start()] + ";"
-    has_lj = bool(re.search(r"last\s+join", sql, re.IGNORECASE))
-    has_win = bool(re.search(r"\bWINDOW\b|\bOVER\b", sql, re.IGNORECASE))
     if has_lj and has_win:
-        out = _run_lastjoin_window_sql(sql, tables, limit=limit)
-        limit = None
-    elif has_lj:
-        out = _run_lastjoin_sql(sql, tables)
-    else:
-        out = _run_window_sql(sql, tables, limit=limit)
-        limit = None  # applied in input-row order inside
-    return out.limit(limit) if limit is not None else out
+        return _run_lastjoin_window_sql(sql, tables, limit=limit)
+    if has_lj:
+        return _run_lastjoin_sql(sql, tables, limit=limit)
+    return _run_window_sql(sql, tables, limit=limit)
+
+
+def _run_plain_sql(spark, sql: str, tables: list):
+    """Plain SELECT / WHERE / GROUP BY / HAVING / DISTINCT / ORDER BY /
+    LIMIT / sub-selects: translate OpenMLDB function names and delegate
+    to Spark SQL (temp views __sql_t{i}) — Catalyst handles the rest
+    (reference semantics: GroupByAggregationPlan.scala:38-170)."""
+    for i, df in enumerate(tables):
+        df.createOrReplaceTempView(f"__sql_t{i}")
+    sql = re.sub(r"\{(\d+)\}", r"__sql_t\1", sql)
+    return spark.sql(translate_expr(sql))
 
 
 def _run_lastjoin_window_sql(sql: str, tables: list, limit: int | None = None):
@@ -283,7 +623,7 @@ def _run_lastjoin_window_sql(sql: str, tables: list, limit: int | None = None):
     import pyspark.sql.functions as F
 
     if len(re.findall(r"last\s+join", sql, re.IGNORECASE)) > 1:
-        raise SqlUnsupported("multi-table LAST JOIN chain")
+        raise SqlUnsupported("multi-table LAST JOIN chain + WINDOW")
     m = re.match(
         r"^\s*select\s+(?P<proj>.*?)\s+from\s+\{0\}\s+last\s+join\s+\{1\}\s*"
         r"(?:order\s+by\s+\{1\}\.(?P<ord>\w+)\s+)?on\s+(?P<cond>.*?)"
@@ -309,8 +649,15 @@ def _run_lastjoin_window_sql(sql: str, tables: list, limit: int | None = None):
         if c not in left.columns:
             joined = joined.withColumn(c, F.col(f"r__{c}"))
 
-    # window part over the joined table: {1}.col → r__col, {0}.col → col
-    win_sql = "SELECT " + m.group("proj") + " FROM {0} " + m.group("windows")
+    # window part over the joined table: {1}.col → r__col, {0}.col → col;
+    # bare `{1}.c4` projections keep their user-facing name `c4`
+    items = []
+    for it in split_projection(m.group("proj")):
+        it = it.strip()
+        pm = re.fullmatch(r"\{1\}\.(\w+)", it)
+        items.append(f"{{1}}.{pm.group(1)} as {pm.group(1)}" if pm else it)
+    win_sql = ("SELECT " + ", ".join(items) + " FROM {0} "
+               + m.group("windows"))
     win_sql = re.sub(r"\{1\}\.(\w+)", r"{0}.r__\1", win_sql)
     return _run_window_sql(win_sql, [joined], limit=limit)
 
@@ -323,19 +670,23 @@ def _run_window_sql(sql: str, tables: list, limit: int | None = None):
     from openmldb_spark.operators.window import window_agg
 
     q = compile_window_sql(sql)
-    primary = tables[0].withColumn(_RID, F.monotonically_increasing_id())
-    # cache: every window spec re-reads the primary, and the row id must
-    # be stable across those branches (monotonically_increasing_id is
-    # plan-dependent)
-    primary = primary.persist()
-    primary.count()
+    primary = tables[q.primary_idx].withColumn(
+        _RID, F.monotonically_increasing_id())
+    # localCheckpoint (eager) pins the row id physically — it is
+    # plan-dependent otherwise — and, unlike persist(), its blocks are
+    # freed by the ContextCleaner when the DataFrame is GC'd, so corpus
+    # replay loops don't accumulate executor storage
+    primary = primary.localCheckpoint(eager=True)
 
-    keep = [_RID] + [e[1] for e in q.projection if e[0] == "col"]
-    merged = primary.select(*dict.fromkeys(keep))
-    final_cols = [
-        F.col(e[1]).alias(e[2]) if e[0] == "col" else F.col(e[2].alias)
-        for e in q.projection
-    ]
+    merged = primary
+    final_cols = []
+    for e in q.projection:
+        if e[0] == "col":
+            final_cols.append(F.col(e[1]).alias(e[2]))
+        elif e[0] == "agg":
+            final_cols.append(F.col(e[2].alias))
+        else:
+            final_cols.append(F.expr(e[1]).alias(e[2]))
     for wname, (spec, union_idx, aggs) in q.windows.items():
         if not aggs:
             continue
@@ -351,51 +702,52 @@ def _run_window_sql(sql: str, tables: list, limit: int | None = None):
     return merged.select(*final_cols)
 
 
-def _run_lastjoin_sql(sql: str, tables: list):
+def _run_lastjoin_sql(sql: str, tables: list, limit: int | None = None):
+    """LAST JOIN statement — single join or a left-deep chain
+    (JoinPlan.scala:39-44 recursion; cases/query/last_join_query.yaml:4).
+
+    Each stage keeps every accumulated column (right side prefixed
+    ``__j{i}_``); the final projection resolves {i}.col refs against the
+    stage prefixes. LIMIT is deterministic first-N in left-row order,
+    matching the window path (rid threaded through the chain)."""
+    import pyspark.sql.functions as F
+
+    sql = sql.strip().replace("\n", " ")
+    stages = re.split(r"\blast\s+join\b", sql, flags=re.IGNORECASE)
+    if len(stages) > 2:
+        return _run_lastjoin_chain(sql, tables, stages, limit=limit)
+    m = _LASTJOIN_RE.match(sql)
+    if not m:
+        raise SqlUnsupported("not a supported LAST JOIN query")
+    out = _one_last_join(tables[0], tables[1], m.group("ord"),
+                         m.group("cond"), rid=limit is not None)
+    res = _project_lastjoin(out, m.group("proj"), {1: "r__"})
+    if limit is not None:
+        res = res[0].orderBy(F.col(_RID)).limit(limit).select(*res[1])
+        return res
+    return res[0].select(*res[1])
+
+
+def _one_last_join(left, right, order, cond_txt, rid=False,
+                   rprefix="r__"):
+    """Execute one LAST JOIN of `right` into `left`; right columns come
+    back prefixed `rprefix`; left columns keep their names (plus _RID
+    when rid=True)."""
     import pyspark.sql.functions as F
     from openmldb_spark.plans.specs import LastJoinSpec
     from openmldb_spark.operators.lastjoin import last_join
 
-    sql = sql.strip().replace("\n", " ")
-    if len(re.findall(r"last\s+join", sql, re.IGNORECASE)) > 1:
-        raise SqlUnsupported("multi-table LAST JOIN chain")
-    m = _LASTJOIN_RE.match(sql)
-    if not m:
-        raise SqlUnsupported("not a supported LAST JOIN query")
-    left, right = tables[0], tables[1]
+    if rid and _RID not in left.columns:
+        left = left.withColumn(_RID, F.monotonically_increasing_id()) \
+                   .localCheckpoint(eager=True)
 
-    # projection: {t}.col refs, bare cols (resolved left-first), or
-    # arbitrary scalar expressions over both sides (lowered to F.expr)
-    proj = []
-    for item in split_projection(m.group("proj")):
-        item = item.strip()
-        pm = re.fullmatch(
-            r"\{(?P<t>\d)\}\.(?P<col>\w+)(?:\s+as\s+(?P<alias>\w+))?",
-            item, re.IGNORECASE)
-        if pm:
-            proj.append((int(pm.group("t")), pm.group("col"),
-                         pm.group("alias") or pm.group("col")))
-            continue
-        bm = re.fullmatch(r"(?P<col>\w+)(?:\s+as\s+(?P<alias>\w+))?", item,
-                          re.IGNORECASE)
-        if bm:
-            proj.append(("bare", bm.group("col"),
-                         bm.group("alias") or bm.group("col")))
-            continue
-        em = re.fullmatch(r"(?P<expr>.+?)\s+as\s+(?P<alias>\w+)", item,
-                          re.IGNORECASE | re.DOTALL)
-        if not em:
-            raise SqlUnsupported(f"projection item {item!r}")
-        expr = re.sub(r"\{1\}\.(\w+)", r"r__\1", em.group("expr"))
-        expr = re.sub(r"\{0\}\.(\w+)", r"\1", expr)
-        proj.append(("expr", expr, em.group("alias")))
-
-    right = right.select(*[F.col(c).alias(f"r__{c}") for c in right.columns])
+    right = right.select(*[F.col(c).alias(f"{rprefix}{c}")
+                           for c in right.columns])
     equi, residual = [], []
-    for tok in re.split(r"\s+and\s+", m.group("cond"), flags=re.IGNORECASE):
+    for tok in re.split(r"\s+and\s+", cond_txt, flags=re.IGNORECASE):
         tok = tok.strip()
-        em = re.fullmatch(r"\{0\}\.(\w+)\s*=\s*\{1\}\.(\w+)", tok) or \
-            re.fullmatch(r"\{1\}\.(?P<r>\w+)\s*=\s*\{0\}\.(?P<l>\w+)", tok)
+        em = re.fullmatch(r"\{0\}\.(\w+)\s*=\s*\{\d\}\.(\w+)", tok) or \
+            re.fullmatch(r"\{\d\}\.(?P<r>\w+)\s*=\s*\{0\}\.(?P<l>\w+)", tok)
         if em and em.groupdict().get("r"):
             equi.append((em.group("l"), em.group("r")))
             continue
@@ -405,71 +757,138 @@ def _run_lastjoin_sql(sql: str, tables: list):
         rm = re.fullmatch(r"\{(\d)\}\.(\w+)\s*(>=|<=|!=|=|>|<)\s*(.+)", tok)
         if rm:
             t, col, op, rhs = rm.groups()
-            lhs = f"r__{col}" if t == "1" else col
-            rhs = re.sub(r"\{1\}\.(\w+)", r"r__\1", rhs)
+            lhs = col if t == "0" else f"{rprefix}{col}"
             rhs = re.sub(r"\{0\}\.(\w+)", r"\1", rhs)
+            rhs = re.sub(r"\{\d\}\.(\w+)", rf"{rprefix}\1", rhs)
             residual.append(f"{lhs} {op} {rhs}")
             continue
         raise SqlUnsupported(f"join condition {tok!r}")
 
     # right key/order columns are aliased away by last_join: duplicate
-    # any the projection or residual needs
-    order = m.group("ord")
-    right_on = [f"r__{r}" for _, r in equi]
-    hidden = set(right_on) | ({f"r__{order}"} if order else set())
-    need = {c for t, c, _ in proj if t == 1 and f"r__{c}" in hidden}
-    # hidden right cols referenced inside projection expressions
-    for t, body, _ in proj:
-        if t == "expr":
-            for rc in re.findall(r"\br__(\w+)\b", body):
-                if f"r__{rc}" in hidden:
-                    need.add(rc)
-    cond_txt = " AND ".join(residual) if residual else None
-    if cond_txt:
-        # equi keys AND the order column are aliased away inside
-        # last_join — residual refs to either need the rk__ duplicate
-        for rc in re.findall(r"\br__(\w+)", cond_txt):
-            if f"r__{rc}" in hidden:
+    # any the residual needs, and keep rk__ copies for projections
+    right_on = [f"{rprefix}{r}" for _, r in equi]
+    hidden = set(right_on) | ({f"{rprefix}{order}"} if order else set())
+    need = set()
+    cond_sql = " AND ".join(residual) if residual else None
+    if cond_sql:
+        for rc in re.findall(rf"\b{rprefix}(\w+)", cond_sql):
+            if f"{rprefix}{rc}" in hidden:
                 need.add(rc)
-                cond_txt = re.sub(rf"\br__{rc}\b", f"rk__{rc}", cond_txt)
+                cond_sql = re.sub(rf"\b{rprefix}{rc}\b", f"rk__{rc}",
+                                  cond_sql)
+    # projections may also need hidden cols — always duplicate them
+    for c in list(hidden):
+        need.add(c[len(rprefix):])
     for c in need:
-        right = right.withColumn(f"rk__{c}", F.col(f"r__{c}"))
+        right = right.withColumn(f"rk__{c}", F.col(f"{rprefix}{c}"))
 
     spec = LastJoinSpec(
         left_on=[l for l, _ in equi] or ["__k"],
-        right_on=right_on or ["r____k"],
-        order_by=f"r__{order}" if order else None,
-        condition=cond_txt,
+        right_on=right_on or [f"{rprefix}__k"],
+        order_by=f"{rprefix}{order}" if order else None,
+        condition=cond_sql,
     )
     if not equi:
         left = left.withColumn("__k", F.lit(1))
-        right = right.withColumn("r____k", F.lit(1))
+        right = right.withColumn(f"{rprefix}__k", F.lit(1))
     right_cols = [c for c in right.columns
                   if c not in spec.right_on and c != spec.order_by]
     out = last_join(left, right, spec, right_cols=right_cols)
+    # restore hidden right cols under their public prefix
+    for c in need:
+        out = out.withColumnRenamed(f"rk__{c}", f"{rprefix}{c}") \
+            if f"{rprefix}{c}" not in out.columns else out.drop(f"rk__{c}")
+    return out
 
-    def _resolve(t, col):
+
+def _project_lastjoin(out, proj_txt: str, prefixes: dict):
+    """Build the final select list for a LAST JOIN result. `prefixes`
+    maps table index → column prefix in `out` (index 0 = bare)."""
+    import pyspark.sql.functions as F
+
+    def resolve(t, col):
         if t == 0:
             return col
-        if t == 1:
-            return f"r__{col}" if f"r__{col}" in out.columns else f"rk__{col}"
-        # bare: left column first, then right (the reference resolves
-        # unqualified names left-first)
-        if col in out.columns:
-            return col
-        return f"r__{col}" if f"r__{col}" in out.columns else f"rk__{col}"
+        p = prefixes.get(t)
+        if p and f"{p}{col}" in out.columns:
+            return f"{p}{col}"
+        return None
 
     sel = []
-    for t, col, alias in proj:
-        if t == "expr":
-            body = re.sub(
-                r"\br__(\w+)\b",
-                lambda mm: mm.group(0) if f"r__{mm.group(1)}" in out.columns
-                else f"rk__{mm.group(1)}", col)
-            sel.append(F.expr(body).alias(alias))
+    for item in split_projection(proj_txt):
+        item = item.strip()
+        pm = re.fullmatch(
+            r"\{(?P<t>\d+)\}\.(?P<col>\w+)(?:\s+as\s+(?P<alias>\w+))?",
+            item, re.IGNORECASE)
+        if pm:
+            name = resolve(int(pm.group("t")), pm.group("col"))
+            if not name:
+                raise SqlUnsupported(
+                    f"projected column {item!r} unavailable")
+            sel.append(F.col(name).alias(pm.group("alias")
+                                         or pm.group("col")))
             continue
-        name = _resolve(t, col)
-        if name not in out.columns:
-            raise SqlUnsupported(f"projected column {col!r} unavailable")
-        sel.append(F.col(name).alias(alias))
+        bm = re.fullmatch(r"(?P<col>\w+)(?:\s+as\s+(?P<alias>\w+))?", item,
+                          re.IGNORECASE)
+        if bm:
+            col = bm.group("col")
+            # bare names resolve left-first, then right tables in order
+            name = col if col in out.columns else None
+            if name is None:
+                for t in sorted(k for k in prefixes if isinstance(k, int)):
+                    name = resolve(t, col)
+                    if name:
+                        break
+            if name is None:
+                raise SqlUnsupported(f"projected column {col!r} unavailable")
+            sel.append(F.col(name).alias(bm.group("alias") or col))
+            continue
+        em = re.fullmatch(r"(?P<expr>.+?)\s+as\s+(?P<alias>\w+)", item,
+                          re.IGNORECASE | re.DOTALL)
+        if not em:
+            raise SqlUnsupported(f"projection item {item!r}")
+        expr = em.group("expr")
+        for t, p in prefixes.items():
+            if isinstance(t, int):
+                expr = re.sub(rf"\{{{t}\}}\.(\w+)", rf"{p}\1", expr)
+        expr = re.sub(r"\{0\}\.(\w+)", r"\1", expr)
+        sel.append(F.expr(translate_expr(expr)).alias(em.group("alias")))
+    return out, sel
+
+
+def _run_lastjoin_chain(sql: str, tables: list, stages: list,
+                        limit: int | None = None):
+    """Left-deep multi-table LAST JOIN chain:
+    ``select P from {0} last join {a} [order by] on C1 last join {b}
+    [order by] on C2 ...`` — applied left-to-right, each stage joining
+    into the accumulated result (JoinPlan.scala:39-44)."""
+    import pyspark.sql.functions as F
+
+    head = re.match(r"^\s*select\s+(?P<proj>.*?)\s+from\s+\{0\}\s*$",
+                    stages[0], re.IGNORECASE | re.DOTALL)
+    if not head:
+        raise SqlUnsupported("LAST JOIN chain head")
+    cur = tables[0]
+    prefixes: dict = {}
+    for si, seg in enumerate(stages[1:]):
+        seg = seg.strip().rstrip(";").strip()
+        sm = re.match(
+            r"^\{(?P<t>\d+)\}\s*(?:order\s+by\s+\{(?P=t)\}\.(?P<ord>\w+)\s+)?"
+            r"on\s+(?P<cond>.*)$", seg, re.IGNORECASE | re.DOTALL)
+        if not sm:
+            raise SqlUnsupported(f"LAST JOIN chain stage {seg!r}")
+        t = int(sm.group("t"))
+        prefix = f"__j{t}_"
+        cond = sm.group("cond").strip()
+        # left-side refs in this stage's condition may cite {0} or any
+        # earlier-joined table; map the latter to its prefix
+        for pt, pp in prefixes.items():
+            cond = re.sub(rf"\{{{pt}\}}\.(\w+)", rf"{{0}}.{pp}\1", cond)
+        cur = _one_last_join(cur, tables[t], sm.group("ord"), cond,
+                             rid=limit is not None and si == 0,
+                             rprefix=prefix)
+        prefixes[t] = prefix
+    out, sel = _project_lastjoin(cur, head.group("proj"), prefixes)
+    if limit is not None:
+        return out.orderBy(F.col(_RID)).limit(limit).select(*sel)
     return out.select(*sel)

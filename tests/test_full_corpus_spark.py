@@ -3,14 +3,16 @@ stack (run_sql → window_agg → Arrow kernel). ~5 min, so opt-in:
 
     SPARK_GRAFT_FULL_CORPUS=1 python -m pytest tests/test_full_corpus_spark.py
 
-Last recorded run (2026-08-17): 165 ok / 0 fail / 39 skip
-(skips = outside the SQL subset or non-literal expectations).
+Last recorded run (2026-08-17, round 2): 190 ok / 0 fail / 36 skip
+(34 no-literal-expectation cases + 2 documented int-overflow-widening
+divergences; every case inside the SQL surface passes).
 The always-on equivalents: kernel-level corpus in
 test_reference_cases.py (fast) + the PICKS slice in test_sqlfe.py.
 """
 
 import math
 import os
+import re
 
 import pandas as pd
 import pytest
@@ -40,19 +42,46 @@ def test_full_window_corpus_through_spark(spark):
                 continue
             try:
                 dfs = [_mkdf(spark, inp) for inp in case["inputs"]]
-                got = run_sql(spark, case["sql"], dfs).toPandas()
+                sql = str(case["sql"])
+                got = run_sql(spark, sql, dfs).toPandas()
+                lm = re.search(r"\blimit\s+(\d+)\s*;?\s*$", sql.strip(),
+                               re.IGNORECASE)
+                full = None
+                if lm:
+                    # LIMIT without ORDER BY: row identity is
+                    # engine-defined (the reference takes limitCnt rows
+                    # per shuffle partition — WindowAggPlan.scala:357-358
+                    # — so even its own expected rows are one CI run's
+                    # arbitrary pick). Check columns, count, and that
+                    # every returned row belongs to the full result.
+                    full = run_sql(spark, sql.strip()[:lm.start()] + ";",
+                                   dfs).toPandas()
             except (SqlUnsupported, KeyError):
                 skip += 1
                 continue
             try:
-                _check(got, exp)
+                if full is not None:
+                    _check_limit(got, full, exp, int(lm.group(1)))
+                else:
+                    _check(got, exp)
                 ok += 1
             except Unsupported:
                 skip += 1
             except AssertionError as e:
                 fail.append((f, case.get("id"), str(e)[:100]))
     assert not fail, fail
-    assert ok >= 165, f"only {ok} corpus cases passed the Spark path"
+    assert ok >= 190, f"only {ok} corpus cases passed the Spark path"
+
+
+def _check_limit(got, full, exp, n):
+    cols = [c.rsplit(" ", 1)[0].strip() for c in exp["columns"]]
+    assert list(got.columns) == cols, (list(got.columns), cols)
+    assert len(got) == min(n, len(full)), (len(got), n, len(full))
+    gset = {tuple(map(str, r)) for r in
+            got.where(pd.notna(got), None).values.tolist()}
+    fset = {tuple(map(str, r)) for r in
+            full.where(pd.notna(full), None).values.tolist()}
+    assert gset <= fset, gset - fset
 
 
 def _check(got, exp):
@@ -61,14 +90,27 @@ def _check(got, exp):
     assert list(got.columns) == cols and len(got) == len(exp["rows"])
     order = exp.get("order")
     erows = exp["rows"]
-    grows = got.where(pd.notna(got), None).values.tolist()
+    def _cell(v):
+        if isinstance(v, pd.Timestamp):
+            return v.value // 10**6  # ns → ms (OpenMLDB int64 ms)
+        if isinstance(v, float) and math.isnan(v):
+            return None  # float-dtype columns render null as NaN
+        return v
+
+    grows = [[_cell(v) for v in r]
+             for r in got.where(pd.notna(got), None).values.tolist()]
     if order:
         oi = cols.index(order)
 
         def key(r):
             return (r[oi] is None, str(r[oi]))
-        erows = sorted(erows, key=key)
-        grows = sorted(grows, key=key)
+    else:
+        # no declared order: the reference batch output order is
+        # engine-defined (distributed) — compare as canonical row sets
+        def key(r):
+            return [(v is None, str(v)) for v in r]
+    erows = sorted(erows, key=key)
+    grows = sorted(grows, key=key)
     for grow, erow in zip(grows, erows):
         for t, gv, ev in zip(typs, grow, erow):
             if ev is None:
@@ -77,6 +119,8 @@ def _check(got, exp):
                 assert math.isclose(float(gv), float(ev),
                                     rel_tol=1e-5, abs_tol=1e-5)
             elif t in ("int", "bigint", "smallint", "timestamp"):
+                if isinstance(gv, pd.Timestamp):
+                    gv = gv.value // 10**6  # ns → ms (OpenMLDB int64 ms)
                 gi = int(gv)
                 if gi != int(ev) and t in ("int", "smallint"):
                     bits = 32 if t == "int" else 16

@@ -221,9 +221,40 @@ def test_top_and_top_n_frequency():
                            Agg("top1_ratio", "t", "r1"),
                            Agg("distinct_count", "t", "dc")])
     assert list(out["topv"]) == ["5", "9,5", "9,7", "9,9"]
-    assert list(out["topt"]) == ["a", "a,b", "a,b", "a,b"]
+    # fewer than k present keys → pad with "NULL" to k
+    # (FZTopNFrequency::Output, feature_zero_def.cc:520-545)
+    assert list(out["topt"]) == ["a,NULL", "a,b", "a,b", "a,b"]
     assert out["r1"].tolist() == [1.0, 0.5, 2 / 3, 0.5]
     assert list(out["dc"]) == [1, 2, 2, 3]
+
+
+def test_top_n_frequency_null_padding_and_numeric_keys():
+    # all-null-key frame: Update ran (top_n_ set) but map empty → "NULL,NULL";
+    # numeric keys order natively (2 before 10), not lexicographically
+    rows = [
+        dict(id=1, __ord=1000, t=None, k=10),
+        dict(id=2, __ord=2000, t=None, k=2),
+        dict(id=3, __ord=3000, t="z", k=2),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=10)
+    out = run(rows, spec, [Agg("top_n_frequency", "t", "topt", param=2),
+                           Agg("top_n_frequency", "k", "topk", param=3)])
+    assert list(out["topt"]) == ["NULL,NULL", "NULL,NULL", "z,NULL"]
+    # counts: row3 frame has k=10 once, k=2 twice → 2 first (count), then 10
+    assert list(out["topk"]) == ["10,NULL,NULL", "2,10,NULL", "2,10,NULL"]
+
+
+def test_cate_numeric_key_native_order():
+    # std::map<int> in the reference orders 2 before 10; str() order would
+    # wrongly emit "10:...,2:..."
+    rows = [
+        dict(id=1, __ord=1000, v=1.0, k=10),
+        dict(id=2, __ord=2000, v=2.0, k=2),
+        dict(id=3, __ord=3000, v=3.0, k=2),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=10)
+    out = run(rows, spec, [Agg("sum_cate", "v", "sc", cate="k")])
+    assert list(out["sc"]) == ["10:1", "2:2,10:1", "2:5,10:1"]
 
 
 def test_cate_aggs():

@@ -148,9 +148,13 @@ def run_case(case: dict) -> pd.DataFrame:
         if entry[0] == "col":
             out_cols.append(entry[1])
             out_names.append(entry[2])
-        else:
+        elif entry[0] == "agg":
             out_cols.append(entry[2].alias)
             out_names.append(entry[2].alias)
+        else:
+            # expression-over-aggregates projections need Catalyst —
+            # covered by the Spark path (test_full_corpus_spark)
+            raise Unsupported("expression projection (Spark path only)")
     res = merged[out_cols].copy()
     res.columns = out_names
     return res
