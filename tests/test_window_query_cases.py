@@ -30,9 +30,13 @@ class Unsupported(Exception):
 
 
 def _parse_schema(s: str):
+    """Schema string in either 'name:type, ...' or 'name type, ...' form."""
     cols = []
     for part in s.split(","):
-        name, typ = part.strip().split(":")
+        part = part.strip()
+        if not part:           # tolerate corpus typos like ",,"
+            continue
+        name, typ = part.split(":") if ":" in part else part.rsplit(None, 1)
         cols.append((name.strip(), typ.strip().lower()))
     return cols
 
@@ -52,10 +56,28 @@ def _parse_value(v: str, typ: str):
 
 
 def _mk_named_df(spark, inp):
+    import datetime
+
     if "resource" in inp:
         # resource files are the same {name, schema, data} table format
         with open(f"/root/reference/{inp['resource']}") as f:
             inp = yaml.safe_load(f)["table"]
+    if "columns" in inp and ("rows" in inp or "data" in inp):
+        # the {columns: ['name:type'|'name type'], rows|data: ...} spelling
+        cols = [c.rsplit(":", 1) if ":" in c else c.rsplit(None, 1)
+                for c in inp["columns"]]
+        cols = [(n.strip(), t.strip().lower()) for n, t in cols]
+        if any(t not in _TYPES for _, t in cols):
+            raise Unsupported(f"type in {cols}")
+        schema = T.StructType([T.StructField(n, _TYPES[t]) for n, t in cols])
+        if "rows" in inp:
+            rows = [[v.isoformat() if isinstance(v, datetime.date) else v
+                     for v in r] for r in inp["rows"]]
+        else:
+            rows = [[_parse_value(v, t)
+                     for v, (_, t) in zip(line.split(","), cols)]
+                    for line in str(inp["data"]).strip().splitlines()]
+        return inp.get("name", "t1"), spark.createDataFrame(rows, schema)
     if "schema" not in inp or "data" not in inp:
         raise Unsupported("input without schema/data")
     cols = _parse_schema(inp["schema"])
