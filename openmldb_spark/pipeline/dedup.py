@@ -45,6 +45,19 @@ def _hash_expr(c: Column, seed: int, hash_fn: str = "md5") -> Column:
     return F.md5(F.concat(F.lit(f"{seed}|"), c))
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before a map-heavy stage.
+
+    A small parquet table often arrives as 1-2 partitions; the per-doc
+    tokenize+hash stages would then run on one core. Gated on the actual
+    partition count so a 100 TB input (already thousands of partitions)
+    is never gratuitously reshuffled."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: one survivor (min id) per distinct key tuple.
 
@@ -85,21 +98,36 @@ def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str,
     bands: int = 4, rows_per_band: int = 2, shingle_k: int = 3,
     threshold: float = 0.4, hash_fn: str = "md5",
+    materialize: str = "none",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + exact-jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
     restricted to band-bucket collisions. Shuffles: one on band hash
-    (candidate generation), one on id for the verify join."""
+    (candidate generation), one on id for the verify join.
+
+    ``materialize`` controls the signature stage, which feeds three
+    branches (banding + both verify sides):
+    - "none": recompute per branch (map-only codegen; fine when the
+      tokenize+hash cost is small).
+    - "parquet": write the signature table once and re-read it — the
+      production plan at scale: 3× recompute of the shingle+hash stage
+      is paid on the full corpus otherwise. (An eagerly-counted persist
+      of the array<string> columns measured *slower* than recompute at
+      bench scale — commit 20686af — so parquet round-trip is the
+      materialization of choice.)
+    """
     n_hashes = bands * rows_per_band
-    # Signatures feed three branches (banding + both verify sides). No
-    # persist here: caching array<string> columns costs more than the
-    # codegen'd map-only recomputation at bench scale, and persist
-    # without an eager action races across branches anyway. At real
-    # scale, materialize the signature table explicitly
-    # (minhash_signatures(...).write.parquet(...)) and join from that.
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes,
-                              shingle_k, hash_fn)
+    sigs = minhash_signatures(ensure_parallelism(df), text_col, id_col,
+                              n_hashes, shingle_k, hash_fn)
+    if materialize == "parquet":
+        import tempfile
+        path = tempfile.mkdtemp(prefix="minhash_sigs_")
+        sigs.write.mode("overwrite").parquet(path)
+        sigs = df.sparkSession.read.parquet(path)
+    elif materialize != "none":
+        raise ValueError(f"materialize must be 'none' or 'parquet', "
+                         f"got {materialize!r}")
 
     def band_hash(b):
         cols = [F.col(f"sig{b * rows_per_band + r}")
@@ -182,12 +210,20 @@ def ngram_jaccard_pairs(
 _SIMHASH_BITS = 64
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            hash_fn: str = "blake2b") -> DataFrame:
     """64-bit SimHash per document (Arrow-vectorized pandas UDF).
 
     bit_i(sig) = sign of Σ_tokens count(token) * (bit_i(h(token)) ? +1 : -1)
-    with h = blake2b-64 (stable across processes, unlike Python hash())."""
+    with h = first 8 bytes of ``hash_fn`` (stable across processes,
+    unlike Python hash()). 'blake2b' is the production default; 'md5'
+    gives the same distribution and is bit-replicable in DuckDB, so the
+    whole operator becomes oracle-checkable (SQL_SIMHASH in queries.py)."""
     from pyspark.sql.functions import pandas_udf
+
+    if hash_fn not in ("blake2b", "md5"):
+        raise ValueError(f"hash_fn must be 'blake2b' or 'md5', "
+                         f"got {hash_fn!r}")
 
     @pandas_udf(T.LongType())
     def _simhash(tokens: pd.Series) -> pd.Series:
@@ -198,8 +234,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         def bits_of(tok: str) -> np.ndarray:
             b = bit_cache.get(tok)
             if b is None:
-                digest = hashlib.blake2b(tok.encode(),
-                                         digest_size=8).digest()
+                if hash_fn == "md5":
+                    digest = hashlib.md5(tok.encode()).digest()[:8]
+                else:
+                    digest = hashlib.blake2b(tok.encode(),
+                                             digest_size=8).digest()
                 b = np.unpackbits(
                     np.frombuffer(digest, dtype=np.uint8)
                 ).astype(np.int64) * 2 - 1   # ±1 per bit
@@ -225,7 +264,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       hash_fn: str = "blake2b") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Banded by pigeonhole: split the 64 bits into max_hamming+1 chunks —
@@ -237,7 +277,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     bounds = [(i * _SIMHASH_BITS // n_chunks,
                (i + 1) * _SIMHASH_BITS // n_chunks) for i in range(n_chunks)]
     # both self-join sides reuse the signatures: compute the UDF once
-    sigs = simhash(df, text_col, id_col).persist()
+    sigs = simhash(ensure_parallelism(df), text_col, id_col,
+                   hash_fn=hash_fn).persist()
     sigs.count()
     chunks = sigs.select(
         id_col, "simhash",

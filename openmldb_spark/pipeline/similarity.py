@@ -91,11 +91,16 @@ def ann_lsh(
 ) -> DataFrame:
     """Bucketed ANN: search only the query's hyperplane bucket.
 
-    Recall < 1 by construction (report alongside ann_bruteforce)."""
+    Recall < 1 by construction (report alongside ann_bruteforce).
+    ``dim`` is required: the hyperplanes are plan-time literals, and
+    sniffing the dimension with .first() would fire a driver-side Spark
+    job during DataFrame construction."""
     from pyspark.sql import Window
 
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "ann_lsh requires dim= (embedding dimensionality is schema "
+            "knowledge; a .first() probe would run a job at plan time)")
     planes = _planes(dim, n_planes, seed)
     cb = corpus.select(
         F.col(id_col), F.col(vec_col),
@@ -131,7 +136,9 @@ def embedding_near_dups(
     base = corpus.select(F.col(id_col), F.col(vec_col))
     if n_planes > 0:
         if dim is None:
-            dim = len(corpus.select(vec_col).first()[0])
+            raise ValueError(
+                "embedding_near_dups with n_planes>0 requires dim= "
+                "(see ann_lsh)")
         planes = _planes(dim, n_planes, seed)
         base = base.withColumn(
             "__bucket", lsh_bucket_col(F.col(vec_col), planes))

@@ -954,7 +954,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmldb_spark.pipeline.dedup import minhash_lsh_pairs
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_lsh_pairs(d, "text", "doc_id", bands=4, rows_per_band=2,
-                             shingle_k=3, threshold=0.4)
+                             shingle_k=3, threshold=0.4,
+                             materialize="parquet")
 
 
 def _minhash_sql(bands: int = 4, rpb: int = 2, threshold: float = 0.4) -> str:
@@ -1041,6 +1042,47 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
+_EMB_DIM = 64          # embeddings.parquet schema (TESTDATA.md)
+_EMB_PLANES = 3
+_EMB_SEED = 7
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-path variant (hyperplane-bucketed candidate generation)
+    under a full oracle: DuckDB rebuilds the same buckets from the same
+    plane literals, so candidate set + cosine are value-checked — the
+    plan certified here is the one that runs at 100 TB."""
+    from openmldb_spark.pipeline.similarity import embedding_near_dups
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dups(e, threshold=0.4, n_planes=_EMB_PLANES,
+                              seed=_EMB_SEED, dim=_EMB_DIM)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+def _embedding_lsh_sql() -> str:
+    from openmldb_spark.pipeline.similarity import _planes
+    planes = _planes(_EMB_DIM, _EMB_PLANES, _EMB_SEED)
+    terms = []
+    for i, p in enumerate(planes):
+        lst = "[" + ", ".join(repr(float(v)) for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{lst}) >= 0 THEN {2 ** (_EMB_PLANES - 1 - i)} ELSE 0 END)")
+    bucket = "\n       + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bkt FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(ROUND(list_cosine_similarity(a.embedding, c.embedding), 6), 4)
+           AS cosine
+FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.4
+"""
+
+
+SQL_EMBEDDING_NEAR_DUPS_LSH = _embedding_lsh_sql()
+
 
 def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-hash MinHash path (xxhash64 — not SQL-replicable, so
@@ -1048,15 +1090,58 @@ def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmldb_spark.pipeline.dedup import minhash_lsh_pairs
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_lsh_pairs(d, "text", "doc_id", bands=4, rows_per_band=2,
-                             shingle_k=3, threshold=0.4, hash_fn="xxhash64")
+                             shingle_k=3, threshold=0.4, hash_fn="xxhash64",
+                             materialize="parquet")
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No SQL oracle (blake2b not in DuckDB) — driver rows-only check;
-    exactness covered by golden unit tests."""
+    """SimHash near-dups with the md5-derived 64-bit token hash — same
+    distribution as the blake2b production default, but DuckDB-replicable
+    bit for bit, so the banded operator gets a full value oracle (the
+    pigeonhole chunk join has recall 1 for hamming ≤ d, so the oracle can
+    be the plain quadratic hamming filter)."""
     from openmldb_spark.pipeline.dedup import simhash_near_pairs
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
+    out = simhash_near_pairs(d, "text", "doc_id", max_hamming=3,
+                             hash_fn="md5")
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# DuckDB SimHash mirror: md5(token) first 8 bytes, MSB-first bit order
+# (numpy unpackbits) — bit i lives in hex char i//4, in-char bit 3-i%4.
+SQL_SIMHASH_NEAR_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+     SUM(CASE WHEN ((strpos('0123456789abcdef',
+                            substr(md5(tok), CAST(b.i // 4 AS INT) + 1, 1))
+                     - 1) >> CAST(3 - (b.i % 4) AS INT)) & 1 = 1
+              THEN c ELSE -c END) AS acc
+  FROM tc, (SELECT unnest(range(0, 64)) AS i) b
+  GROUP BY doc_id, b.i
+),
+sigs0 AS (
+  SELECT doc_id,
+     CAST(SUM(CASE WHEN acc > 0 THEN
+         CASE WHEN bit = 0 THEN CAST(-9223372036854775808 AS BIGINT)
+              ELSE CAST(pow(2, 63 - bit) AS BIGINT) END
+         ELSE 0 END) AS BIGINT) AS sig
+  FROM bits GROUP BY doc_id
+),
+sigs AS (
+  SELECT t.doc_id, COALESCE(s.sig, 0) AS sig
+  FROM toks t LEFT JOIN sigs0 s ON t.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,6 +1317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "minhash_lsh_fast": q_minhash_lsh_fast,
     "simhash_near_pairs": q_simhash_near_pairs,
     "multimodal_features": q_multimodal_features,
@@ -1274,6 +1360,9 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": SQL_MINHASH_LSH,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "embedding_near_dups_lsh": SQL_EMBEDDING_NEAR_DUPS_LSH,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
-    # simhash_near_pairs: intentionally no oracle yet (hash fn) → rows-only
+    "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
+    # minhash_lsh_fast: xxhash64 not in DuckDB → rows-only by design
+    # (the md5 twin minhash_lsh_pairs is the value-checked one)
 }

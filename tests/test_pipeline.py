@@ -80,7 +80,7 @@ def test_ann_lsh_subset_and_recall(spark, embs):
     qset = embs.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
     bf = ann_bruteforce(embs, qset, k=5).collect()
-    lsh = ann_lsh(embs, qset, k=5, n_planes=2).collect()
+    lsh = ann_lsh(embs, qset, k=5, n_planes=2, dim=64).collect()
     bf_map = {(r.query_id, r.vec_id): r.cosine for r in bf}
     # LSH cosines are exact for the pairs it returns
     lsh_pairs = {(r.query_id, r.vec_id) for r in lsh}
