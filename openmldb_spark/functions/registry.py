@@ -27,19 +27,86 @@ def _col(c) -> Column:
 _PASSTHROUGH = [
     # string (:466-972)
     "concat", "concat_ws", "substring", "substr", "upper", "lower",
-    "reverse", "date_format", "like",
+    "reverse", "like",
     # math (:974-1344)
     "log", "ln", "log2", "log10", "abs", "ceil", "ceiling", "exp", "floor",
     "pow", "power", "round", "sqrt",
     # trig (:1346-1583)
     "degrees", "radians", "acos", "asin", "atan", "atan2", "cos", "sin",
     "tan",
-    # date/time (:1822-2030)
-    "year", "month", "dayofmonth", "dayofweek", "dayofyear", "weekofyear",
-    "hour", "minute", "second",
     # null/logic (:1585-1659)
     "coalesce", "greatest", "least",
 ]
+
+
+def _local8(x) -> Column:
+    """Render a timestamp operand as OpenMLDB wall time — the reference
+    pins all timestamp→calendar conversion to fixed UTC+8
+    (constexpr TZ = 8, hybridse/src/udf/udf.cc:54-67)."""
+    return F.from_utc_timestamp(_col(x).cast("timestamp"), "+08:00")
+
+
+_STRFTIME_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd",
+    "H": "HH", "M": "mm", "S": "ss", "j": "DDD", "W": "ww", "u": "e",
+}
+
+
+def strftime_to_java(fmt: str) -> str:
+    """OpenMLDB date_format patterns are C strftime (%Y-%m-%d %H:%M:%S,
+    udf.cc:193-216); Spark's are Java time patterns. Literal runs with
+    letters are single-quoted so they don't parse as pattern chars."""
+    import re as _re
+
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            sp = fmt[i + 1] if i + 1 < len(fmt) else ""
+            if sp == "%":
+                out.append("'%'")
+            elif sp in _STRFTIME_MAP:
+                out.append(_STRFTIME_MAP[sp])
+            else:
+                raise ValueError(f"unsupported strftime specifier %{sp}")
+            i += 2
+        else:
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            lit = fmt[i:j]
+            out.append("'" + lit.replace("'", "''") + "'"
+                       if _re.search(r"[A-Za-z']", lit) else lit)
+            i = j
+    return "".join(out)
+
+
+def _date_format(x, fmt) -> Column:
+    if not isinstance(fmt, str):
+        raise ValueError("date_format pattern must be a literal string")
+    return F.date_format(_local8(x), strftime_to_java(fmt))
+
+
+def _like_match(s, pat, esc: str | None = None) -> Column:
+    """like_match 2/3-arg (escape char; '' disables escaping entirely —
+    EscapeLikeMatch, default_udf_library.cc:699-857)."""
+    s = _col(s)
+    p = F.lit(pat) if isinstance(pat, str) else pat
+    if esc is None:
+        return s.like(pat) if isinstance(pat, str) else F.like(s, p)
+    if esc == "":
+        # no escape char: \x00 cannot occur in the pattern
+        return F.like(s, p, F.lit("\x00"))
+    return F.like(s, p, F.lit(esc))
+
+
+def _ilike_match(s, pat, esc: str | None = None) -> Column:
+    s = _col(s)
+    p = F.lit(pat) if isinstance(pat, str) else pat
+    if esc is None:
+        return F.ilike(s, p)
+    if esc == "":
+        return F.ilike(s, p, F.lit("\x00"))
+    return F.ilike(s, p, F.lit(esc))
 
 
 def _strcmp(a, b) -> Column:
@@ -104,9 +171,9 @@ REGISTRY.update({
     "character_length": F.length,
     "char": F.chr if hasattr(F, "chr") else (lambda x: F.expr(f"chr({x})")),
     "strcmp": _strcmp,
-    "ilike_match": lambda s, p: _col(s).ilike(p) if hasattr(Column, "ilike")
-        else F.lower(_col(s)).like(p.lower()),
-    "like_match": lambda s, p: _col(s).like(p),
+    "ilike_match": _ilike_match,
+    "like_match": _like_match,
+    "date_format": _date_format,
     "string": lambda x: _col(x).cast("string"),
     # math
     "mod": lambda a, b: _col(a) % _col(b),
@@ -122,9 +189,18 @@ REGISTRY.update({
     "double": lambda x: _col(x).cast("double"),
     "date": lambda x: _col(x).cast("date"),
     "timestamp": lambda x: _col(x).cast("timestamp"),
-    # date/time aliases
-    "day": F.dayofmonth,
-    "week": F.weekofyear,
+    # date/time: calendar parts render at fixed UTC+8 (udf.cc:54-67)
+    "year": lambda x: F.year(_local8(x)),
+    "month": lambda x: F.month(_local8(x)),
+    "day": lambda x: F.dayofmonth(_local8(x)),
+    "dayofmonth": lambda x: F.dayofmonth(_local8(x)),
+    "dayofweek": lambda x: F.dayofweek(_local8(x)),
+    "dayofyear": lambda x: F.dayofyear(_local8(x)),
+    "week": lambda x: F.weekofyear(_local8(x)),
+    "weekofyear": lambda x: F.weekofyear(_local8(x)),
+    "hour": lambda x: F.hour(_local8(x)),
+    "minute": lambda x: F.minute(_local8(x)),
+    "second": lambda x: F.second(_local8(x)),
     # null / logic (:1585-1659)
     "is_null": lambda x: _col(x).isNull(),
     "isnull": lambda x: _col(x).isNull(),
@@ -138,6 +214,8 @@ REGISTRY.update({
     "inc": lambda x: _col(x) + F.lit(1),
     "identity": _col,
     "add": lambda a, b: _col(a) + _col(b),
+    # tuple constructor (udfs_8h.md make_tuple; used for multi-arg UDAFs)
+    "make_tuple": lambda *args: F.struct(*[_col(a) for a in args]),
     # feature-zero split family (feature_zero_def.cc:555-661)
     "fz_split": _fz_split,
     "fz_split_by_key": fz_split_by_key,

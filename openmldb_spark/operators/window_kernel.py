@@ -237,9 +237,14 @@ def topn_freq_strings(counts: np.ndarray, uniq: np.ndarray, k: int,
 
 
 def cate_agg_strings(pdf, cate_col, val_col, cond, base, idx_e, lo, hi, E,
-                     anchored, numeric) -> list:
-    """{sum,count,avg,min,max}_cate[_where]: per-category aggregate within
-    the frame, emitted "k1:v1,k2:v2" sorted by key (*_by_category_def.cc).
+                     anchored, numeric, top_n: int | None = None) -> list:
+    """{sum,count,avg,min,max}_cate[_where] and the top_n_key_* variants:
+    per-category aggregate within the frame, emitted "k1:v1,k2:v2" sorted
+    by key ascending (*_by_category_def.cc). ``top_n``: keep only the n
+    LARGEST keys and emit them key-DESCENDING — the reference's bounded
+    std::map evicts begin() past the bound, so surviving keys always
+    carry complete accumulators (TopKAvgCateWhereDef::Update;
+    OutputString(ptr, is_desc=true)).
 
     sum/count/avg via category prefix sums (vectorized); min/max via
     per-row numpy slices (no prefix structure)."""
@@ -275,9 +280,12 @@ def cate_agg_strings(pdf, cate_col, val_col, cond, base, idx_e, lo, hi, E,
         out = []
         is_count = base == "count"
         for r in range(n):
+            cs = [c for c in range(u) if cnt[r, c] > 0]
+            if top_n is not None:
+                cs = cs[-top_n:][::-1] if top_n > 0 else []
             parts = [
                 f"{uniq[c]}:{_fmt_num(int(cnt[r, c])) if is_count else _fmt_num(vals[r, c])}"
-                for c in range(u) if cnt[r, c] > 0
+                for c in cs
             ]
             out.append(",".join(parts))
         return out
@@ -297,7 +305,10 @@ def cate_agg_strings(pdf, cate_col, val_col, cond, base, idx_e, lo, hi, E,
         if am[r]:
             c, v = anchor_codes[r], anchor_vals[r]
             acc[c] = v if c not in acc else (min(acc[c], v) if base == "min" else max(acc[c], v))
-        out.append(",".join(f"{uniq[c]}:{_fmt_num(acc[c])}" for c in sorted(acc)))
+        cs = sorted(acc)
+        if top_n is not None:
+            cs = cs[-top_n:][::-1] if top_n > 0 else []
+        out.append(",".join(f"{uniq[c]}:{_fmt_num(acc[c])}" for c in cs))
     return out
 
 
@@ -590,11 +601,12 @@ def group_window_features(
                 pdf, col, f, agg.delim or ",", agg.kv_delim, agg.sep,
                 idx_e, lo, hi, E, anchored)
         elif f.endswith("_cate") or f.endswith("_cate_where"):
-            base = f.split("_cate")[0]
+            base = f.split("_cate")[0].replace("top_n_key_", "")
             cond = agg.cond if f.endswith("_where") else None
+            top_n = int(agg.param) if f.startswith("top_n_key_") else None
             out[alias] = cate_agg_strings(
                 pdf, agg.cate, col, cond, base, idx_e, lo, hi, E, anchored,
-                numeric,
+                numeric, top_n=top_n,
             )
         else:  # pragma: no cover
             raise ValueError(f"unhandled agg func {f}")

@@ -39,6 +39,9 @@ KERNEL_AGG_FUNCS = {
     "sum_cate", "count_cate", "avg_cate", "min_cate", "max_cate",
     "sum_cate_where", "count_cate_where", "avg_cate_where",
     "min_cate_where", "max_cate_where",
+    "top_n_key_sum_cate_where", "top_n_key_count_cate_where",
+    "top_n_key_avg_cate_where", "top_n_key_min_cate_where",
+    "top_n_key_max_cate_where",
     "window_split", "window_split_by_key", "window_split_by_value",
 }
 

@@ -804,12 +804,13 @@ SELECT conv_id, turn_idx,
        ROUND(LN(value + 1), 6) AS ln_v,
        TRUNC(value) AS trunc_v,
        POW(value, 2) AS pow_v,
-       CAST(YEAR(epoch_ms(ts_ms)) AS INT) AS y,
-       CAST(MONTH(epoch_ms(ts_ms)) AS INT) AS mo,
-       CAST(DAY(epoch_ms(ts_ms)) AS INT) AS d,
-       CAST(HOUR(epoch_ms(ts_ms)) AS INT) AS h,
-       CAST(MINUTE(epoch_ms(ts_ms)) AS INT) AS mi,
-       CAST(DAYOFWEEK(epoch_ms(ts_ms)) + 1 AS INT) AS dow,
+       -- calendar parts at fixed UTC+8 (reference udf.cc TZ_OFFSET)
+       CAST(YEAR(epoch_ms(ts_ms + 28800000)) AS INT) AS y,
+       CAST(MONTH(epoch_ms(ts_ms + 28800000)) AS INT) AS mo,
+       CAST(DAY(epoch_ms(ts_ms + 28800000)) AS INT) AS d,
+       CAST(HOUR(epoch_ms(ts_ms + 28800000)) AS INT) AS h,
+       CAST(MINUTE(epoch_ms(ts_ms + 28800000)) AS INT) AS mi,
+       CAST(DAYOFWEEK(epoch_ms(ts_ms + 28800000)) + 1 AS INT) AS dow,
        COALESCE(tool, 'none') AS tool_nn,
        tool IS NULL AS tool_isnull,
        CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS has_tool,

@@ -292,7 +292,10 @@ def translate_expr(text: str) -> str:
     def op_fix(seg: str) -> str:
         seg = seg.replace("||", " OR ").replace("&&", " AND ")
         seg = re.sub(r"\bXOR\b", "!=", seg, flags=re.IGNORECASE)
-        return re.sub(r"\bMOD\b(?!\s*\()", " % ", seg, flags=re.IGNORECASE)
+        seg = re.sub(r"\bMOD\b(?!\s*\()", " % ", seg, flags=re.IGNORECASE)
+        # OpenMLDB typed numeric literals: 0.0f / 10l
+        seg = re.sub(r"\b(\d+\.\d*|\d+)[fF]\b", r"CAST(\1 AS FLOAT)", seg)
+        return re.sub(r"\b(\d+)[lL]\b", r"CAST(\1 AS BIGINT)", seg)
 
     # `ESCAPE ''` disables escaping in OpenMLDB; Spark rejects the empty
     # escape (pre-pass: the pattern spans a quoted literal, so it can't
@@ -420,8 +423,8 @@ def _lift_anonymous_windows(sql: str) -> str:
     return new
 
 
-def _parse_agg_call(fn: str, argtxt: str) -> tuple[str, str, int | None]:
-    """One kernel aggregate call → (func, col, param)."""
+def _parse_agg_call(fn: str, argtxt: str) -> dict:
+    """One kernel aggregate call → Agg kwargs {func,col,param,cond,cate}."""
     fn = fn.lower()
     if fn == "fz_topn_frequency":
         fn = "top_n_frequency"
@@ -429,15 +432,38 @@ def _parse_agg_call(fn: str, argtxt: str) -> tuple[str, str, int | None]:
         else []
     if fn not in KERNEL_AGG_FUNCS:
         raise SqlUnsupported(f"aggregate {fn!r}")
-    col = _strip_t(args[0]) if args else ""
-    if not re.fullmatch(r"\w+", col):
-        raise SqlUnsupported(f"aggregate argument {args[0]!r}")
-    param = None
-    if fn in ("lag", "at", "top", "top_n_frequency") and len(args) > 1:
-        param = int(args[1])
+
+    def ident(a):
+        a = _strip_t(a)
+        if not re.fullmatch(r"\w+", a):
+            raise SqlUnsupported(f"aggregate argument {a!r}")
+        return a
+
+    kw: dict = {"func": fn, "col": ident(args[0]) if args else "",
+                "param": None, "cond": None, "cate": None}
+    if fn.startswith("top_n_key_") and fn.endswith("_cate_where"):
+        # top_n_key_X_cate_where(value, cond, key, n)
+        if len(args) != 4:
+            raise SqlUnsupported(f"{fn} needs (value, cond, key, n)")
+        kw["cond"], kw["cate"] = ident(args[1]), ident(args[2])
+        kw["param"] = int(args[3])
+    elif fn.endswith("_cate_where"):
+        if len(args) != 3:
+            raise SqlUnsupported(f"{fn} needs (value, cond, key)")
+        kw["cond"], kw["cate"] = ident(args[1]), ident(args[2])
+    elif fn.endswith("_cate"):
+        if len(args) != 2:
+            raise SqlUnsupported(f"{fn} needs (value, key)")
+        kw["cate"] = ident(args[1])
+    elif fn.endswith("_where"):
+        if len(args) != 2:
+            raise SqlUnsupported(f"{fn} needs (value, cond)")
+        kw["cond"] = ident(args[1])
+    elif fn in ("lag", "at", "top", "top_n_frequency") and len(args) > 1:
+        kw["param"] = int(args[1])
     elif len(args) > 1:
         raise SqlUnsupported(f"aggregate arguments {fn}({argtxt})")
-    return fn, col, param
+    return kw
 
 
 class _AggAlloc:
@@ -447,15 +473,15 @@ class _AggAlloc:
         self.windows = windows
         self.seen: dict[tuple, str] = {}
 
-    def get(self, wname: str, fn: str, col: str, param) -> str:
+    def get(self, wname: str, kw: dict) -> str:
         if wname not in self.windows:
             raise SqlUnsupported(f"unknown window {wname!r}")
-        key = (wname, fn, col, param)
+        key = (wname, kw["func"], kw["col"], kw["param"], kw["cond"],
+               kw["cate"])
         if key not in self.seen:
             alias = f"__e{len(self.seen)}"
             self.seen[key] = alias
-            self.windows[wname][2].append(
-                Agg(fn, col, alias, param=param))
+            self.windows[wname][2].append(Agg(alias=alias, **kw))
         return self.seen[key]
 
 
@@ -501,8 +527,7 @@ def _extract_window_aggs(item: str, alloc: _AggAlloc) -> str:
         argtxt = item[k + 1:p]
         lname = name.lower()
         if lname in KERNEL_AGG_FUNCS or lname == "fz_topn_frequency":
-            fn, col, param = _parse_agg_call(lname, argtxt)
-            out.append(alloc.get(wname, fn, col, param))
+            out.append(alloc.get(wname, _parse_agg_call(lname, argtxt)))
         else:
             bound = _bind_nested_aggs(argtxt, wname, alloc)
             out.append(f"{name}({bound})")
@@ -515,8 +540,7 @@ def _bind_nested_aggs(text: str, wname: str, alloc: _AggAlloc) -> str:
 
     def handler(n, args):
         if n in KERNEL_AGG_FUNCS or n == "fz_topn_frequency":
-            fn, col, param = _parse_agg_call(n, ", ".join(args))
-            return alloc.get(wname, fn, col, param)
+            return alloc.get(wname, _parse_agg_call(n, ", ".join(args)))
         return None
 
     return rewrite_calls(text, handler)
@@ -580,12 +604,12 @@ def compile_window_sql(sql: str) -> WindowQuery:
         if re.fullmatch(r"__e\d+", body):
             # single aggregate: emit directly under its user alias
             key = next(kk for kk, v in alloc.seen.items() if v == body)
-            wname, fn, col, param = key
+            wname = key[0]
             # re-alias the registered Agg to the user-facing name
             aggs = q.windows[wname][2]
             for idx, a in enumerate(aggs):
                 if a.alias == body:
-                    aggs[idx] = Agg(fn, col, alias, param=param,
+                    aggs[idx] = Agg(a.func, a.col, alias, param=a.param,
                                     cond=a.cond, cate=a.cate)
                     alloc.seen[key] = alias
                     q.projection.append(("agg", wname, aggs[idx]))
@@ -612,6 +636,12 @@ def canonicalize_tables(sql: str, tables) -> tuple[str, list]:
     for _ in range(len(ordered) + 1):
         before = sql
         for i, (name, _) in enumerate(ordered):
+            if re.search(rf"\bas\s+{re.escape(name)}\b", sql,
+                         re.IGNORECASE):
+                # the table name is shadowed by a subquery/table alias
+                # (e.g. `(select ...) as t1 ... t1.c2`): leave dotted
+                # refs for the alias resolver
+                continue
             sql = re.sub(rf"\b{re.escape(name)}\s*\.", f"{{{i}}}.", sql)
             sql = re.sub(rf"(\bFROM\s+){re.escape(name)}\b", rf"\g<1>{{{i}}}",
                          sql, flags=re.IGNORECASE)
@@ -654,14 +684,57 @@ def _run_simple_select(spark, sql: str, tables: list):
     return df.selectExpr(*items)
 
 
-def run_sql(spark, sql: str, tables):
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    raise SqlUnsupported(f"unsupported parameter type {type(v).__name__}")
+
+
+def bind_params(sql: str, params) -> str:
+    """Substitute ``?`` placeholders (quote-aware, in order) with SQL
+    literals — OpenMLDB's parameterized queries
+    (cases/query/parameterized_query.yaml; hybridse request params)."""
+    out, i, k = [], 0, 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in "'\"":
+            j = _skip_str(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "?":
+            if k >= len(params):
+                raise SqlUnsupported(
+                    f"query has more placeholders than the {len(params)} "
+                    f"parameters given")
+            out.append(_sql_literal(params[k]))
+            k += 1
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    if k != len(params):
+        raise SqlUnsupported(f"{len(params) - k} unused parameters")
+    return "".join(out)
+
+
+def run_sql(spark, sql: str, tables, params=None):
     """Execute a supported OpenMLDB SQL query over DataFrames — either a
     positional list (``{0}`` refs) or a {name: df} dict (named tables).
+    ``params`` binds ``?`` placeholders in order.
 
     Window queries lower to window_agg (one kernel pass per window spec,
     stitched on a synthetic row id — the ConcatJoin role); LAST JOIN
     queries lower to last_join; anything else runs as translated Spark
     SQL over temp views."""
+    if params is not None:
+        sql = bind_params(sql, list(params))
     sql, tables = canonicalize_tables(sql, tables)
     has_lj = bool(re.search(r"last\s+join", sql, re.IGNORECASE))
     has_win = bool(re.search(r"\bWINDOW\b|\bOVER\b", sql, re.IGNORECASE))
@@ -793,14 +866,23 @@ def _run_lastjoin_sql(sql: str, tables: list, limit: int | None = None):
     import pyspark.sql.functions as F
 
     sql = sql.strip().replace("\n", " ")
+    # optional WHERE after the join condition (parameterized_query.yaml:5)
+    where_txt = None
+    wm = re.search(r"\s+\bwhere\b\s+(?P<w>[^;]*?)\s*;?\s*$", sql,
+                   re.IGNORECASE)
+    if wm and re.search(r"\bon\b", sql[:wm.start()], re.IGNORECASE):
+        where_txt = wm.group("w")
+        sql = sql[:wm.start()] + " ;"
     stages = re.split(r"\blast\s+join\b", sql, flags=re.IGNORECASE)
     if len(stages) > 2:
-        return _run_lastjoin_chain(sql, tables, stages, limit=limit)
+        return _run_lastjoin_chain(sql, tables, stages, limit=limit,
+                                   where_txt=where_txt)
     m = _LASTJOIN_RE.match(sql)
     if not m:
         raise SqlUnsupported("not a supported LAST JOIN query")
     out = _one_last_join(tables[0], tables[1], m.group("ord"),
                          m.group("cond"), rid=limit is not None)
+    out = _apply_lastjoin_where(out, where_txt, {1: "r__"})
     res = _project_lastjoin(out, m.group("proj"), {1: "r__"})
     if limit is not None:
         res = res[0].orderBy(F.col(_RID)).limit(limit).select(*res[1])
@@ -881,6 +963,18 @@ def _one_last_join(left, right, order, cond_txt, rid=False,
     return out
 
 
+def _apply_lastjoin_where(out, where_txt: str | None, prefixes: dict):
+    """Filter the joined result (WHERE after LAST JOIN ... ON)."""
+    import pyspark.sql.functions as F
+
+    if not where_txt:
+        return out
+    for t, p in prefixes.items():
+        where_txt = re.sub(rf"\{{{t}\}}\.(\w+)", rf"{p}\1", where_txt)
+    where_txt = re.sub(r"\{0\}\.(\w+)", r"\1", where_txt)
+    return out.where(F.expr(translate_expr(where_txt)))
+
+
 def _project_lastjoin(out, proj_txt: str, prefixes: dict):
     """Build the final select list for a LAST JOIN result. `prefixes`
     maps table index → column prefix in `out` (index 0 = bare)."""
@@ -937,7 +1031,8 @@ def _project_lastjoin(out, proj_txt: str, prefixes: dict):
 
 
 def _run_lastjoin_chain(sql: str, tables: list, stages: list,
-                        limit: int | None = None):
+                        limit: int | None = None,
+                        where_txt: str | None = None):
     """Left-deep multi-table LAST JOIN chain:
     ``select P from {0} last join {a} [order by] on C1 last join {b}
     [order by] on C2 ...`` — applied left-to-right, each stage joining
@@ -968,6 +1063,7 @@ def _run_lastjoin_chain(sql: str, tables: list, stages: list,
                              rid=limit is not None and si == 0,
                              rprefix=prefix)
         prefixes[t] = prefix
+    cur = _apply_lastjoin_where(cur, where_txt, prefixes)
     out, sel = _project_lastjoin(cur, head.group("proj"), prefixes)
     if limit is not None:
         return out.orderBy(F.col(_RID)).limit(limit).select(*sel)

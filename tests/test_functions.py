@@ -66,3 +66,40 @@ def test_fz_split_family(spark):
 def test_unknown_function_raises():
     with pytest.raises(KeyError):
         fn("definitely_not_a_function")
+
+
+def test_date_format_strftime_and_tz(spark):
+    """date_format takes strftime patterns and renders at fixed UTC+8
+    (udf.cc:54,193-216): 2024-01-01T20:00Z = 2024-01-02 04:00 in +8."""
+    df = spark.range(1).select(
+        F.timestamp_millis(F.lit(1704139200000)).alias("ts"))
+    row = df.select(
+        fn("date_format")(F.col("ts"), "%Y-%m-%d %H:%M:%S").alias("full"),
+        fn("date_format")(F.col("ts"), "%d/%m/%y").alias("dmy"),
+        fn("hour")(F.col("ts")).alias("h"),
+        fn("day")(F.col("ts")).alias("d"),
+    ).first()
+    assert row.full == "2024-01-02 04:00:00"
+    assert row.dmy == "02/01/24"
+    assert row.h == 4 and row.d == 2
+
+
+def test_like_match_escape(spark):
+    df = spark.range(1).select(F.lit("M_ke").alias("s"))
+    row = df.select(
+        fn("like_match")(F.col("s"), "M#_ke", "#").alias("esc_hit"),
+        fn("like_match")(F.col("s"), "M#_ke", "").alias("no_esc"),
+        fn("like_match")(F.lit("Mike"), "M#_ke", "#").alias("esc_miss"),
+        fn("ilike_match")(F.col("s"), "m#_KE", "#").alias("iesc"),
+    ).first()
+    # with '#' escape, '#_' is a literal underscore
+    assert row.esc_hit is True and row.esc_miss is False
+    # empty escape disables escaping: '#' is literal, '_' is a wildcard
+    assert row.no_esc is False
+    assert row.iesc is True
+
+
+def test_make_tuple(spark):
+    row = spark.range(1).select(
+        fn("make_tuple")(F.lit(1), F.lit("a")).alias("t")).first()
+    assert tuple(row.t) == (1, "a")

@@ -25,7 +25,8 @@ from test_window_query_cases import (Unsupported, _mk_named_df,
                                      _parse_schema, _parse_value)
 
 FILES = ["simple_query", "const_query", "group_query", "having_query",
-         "where_group_query", "operator_query", "udf_query", "udaf_query"]
+         "where_group_query", "operator_query", "udf_query", "udaf_query",
+         "parameterized_query"]
 
 QDIR = "/root/reference/cases/query"
 
@@ -79,9 +80,18 @@ def _cell(v):
 
 
 def check_case(spark, case):
-    tables = dict(_mk_named_df(spark, inp)
-                  for inp in case.get("inputs") or [])
-    got = run_sql(spark, str(case["sql"]), tables).toPandas()
+    inputs = case.get("inputs") or []
+    pairs = [_mk_named_df(spark, inp) for inp in inputs]
+    if all(inp.get("name") or "resource" in inp for inp in inputs):
+        tables = dict(pairs)
+    else:
+        # unnamed inputs: positional {i} refs (dict would collide)
+        tables = [df for _, df in pairs]
+    params = None
+    if case.get("parameters"):
+        params = case["parameters"]["rows"][0]
+    got = run_sql(spark, str(case["sql"]), tables,
+                  params=params).toPandas()
     names, typs, erows = _expect_table(case["expect"])
     assert list(got.columns) == names, (list(got.columns), names)
     assert len(got) == len(erows), (len(got), len(erows))
@@ -199,7 +209,7 @@ def test_minimum_plain_query_coverage(spark):
                     fails.append((f, case.get("id"),
                                   f"{type(e).__name__}: {str(e)[:120]}"))
     assert not fails, fails
-    # last recorded run: 94 ok / 0 fail / 4 skips (2 Spark LIKE-pattern
+    # last recorded run: 103 ok / 0 fail / 4 skips (2 Spark LIKE-pattern
     # validation divergences, 1 bigint<>timestamp comparison coercion,
     # 1 nonexistent function `timestampaddd` in the corpus)
-    assert ok >= 94, f"only {ok} plain-query cases passed"
+    assert ok >= 103, f"only {ok} plain-query cases passed"

@@ -244,6 +244,33 @@ def test_top_n_frequency_null_padding_and_numeric_keys():
     assert list(out["topk"]) == ["10,NULL,NULL", "2,10,NULL", "2,10,NULL"]
 
 
+def test_top_n_key_cate_where():
+    # keep only the n LARGEST keys (complete accumulators), emit key-DESC
+    # (TopKAvgCateWhereDef, avg_by_category_def.cc:143-218; bounded
+    # std::map evicts begin() past the bound)
+    rows = [
+        dict(id=1, __ord=1000, v=1.0, k="a", c=True),
+        dict(id=2, __ord=2000, v=2.0, k="b", c=True),
+        dict(id=3, __ord=3000, v=3.0, k="c", c=True),
+        dict(id=4, __ord=4000, v=4.0, k="b", c=False),
+        dict(id=5, __ord=5000, v=5.0, k="b", c=True),
+    ]
+    spec = WindowSpec(partition_by=["g"], frame="rows", preceding=10)
+    out = run(rows, spec, [
+        Agg("top_n_key_sum_cate_where", "v", "s2", cond="c", cate="k",
+            param=2),
+        Agg("top_n_key_count_cate_where", "v", "c1", cond="c", cate="k",
+            param=1),
+        Agg("top_n_key_avg_cate_where", "v", "a2", cond="c", cate="k",
+            param=2),
+    ])
+    assert list(out["s2"]) == ["a:1", "b:2,a:1", "c:3,b:2", "c:3,b:2",
+                               "c:3,b:7"]
+    assert list(out["c1"]) == ["a:1", "b:1", "c:1", "c:1", "c:1"]
+    assert list(out["a2"]) == ["a:1", "b:2,a:1", "c:3,b:2", "c:3,b:2",
+                               "c:3,b:3.5"]
+
+
 def test_cate_numeric_key_native_order():
     # std::map<int> in the reference orders 2 before 10; str() order would
     # wrongly emit "10:...,2:..."
