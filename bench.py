@@ -54,7 +54,35 @@ HEADLINE = [
     "doc_fingerprint",
     "ann_cosine_topk",
     "simhash_near_pairs",
+    # round 2 additions: SQL front end end-to-end, certified LSH scale
+    # path, vectorized multimodal decode
+    "sql_group_having",
+    "sql_window_expr",
+    "embedding_near_dups_lsh",
+    "multimodal_features",
 ]
+
+
+_PY_STAGES = ("FlatMapGroupsInPandas", "MapInPandas",
+              "FlatMapCoGroupsInPandas", "ArrowEvalPython",
+              "BatchEvalPython")
+
+
+def plan_stats(df) -> dict:
+    """Mechanical shuffle-regression guard: count plan nodes that matter
+    at scale (shuffle exchanges, broadcasts, Python stages, sorts) so a
+    round-over-round diff of BENCH_r{N}.json catches an accidental extra
+    exchange without eyeballing explain output."""
+    import re
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "exchanges": len(re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|"
+            r"SinglePartition)", s)),
+        "broadcasts": s.count("BroadcastExchange"),
+        "python_stages": sum(s.count(k) for k in _PY_STAGES),
+        "sorts": len(re.findall(r"\bSort \[", s)),
+    }
 
 
 def main() -> None:
@@ -69,6 +97,7 @@ def main() -> None:
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
     times: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in QUERIES:
@@ -77,9 +106,11 @@ def main() -> None:
         try:
             for _ in range(runs):
                 t0 = time.monotonic()
-                QUERIES[name](spark, sf_dir).count()
+                df = QUERIES[name](spark, sf_dir)
+                df.count()
                 best = min(best, time.monotonic() - t0)
             times[name] = round(best, 3)
+            stats[name] = plan_stats(df)
         except Exception as e:  # one bad query must not sink the record
             errors[name] = str(e)[:200]
 
@@ -97,6 +128,7 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec": turns_per_sec,
         "cores": cpus,
+        "plan_stats": stats,
     }
     if errors:
         rec["errors"] = errors

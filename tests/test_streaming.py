@@ -102,6 +102,51 @@ def test_foreach_batch_runs_engine_ops(spark, sf_dir, tmp_path):
     assert set(out.columns) == {"conv_id", "turn_idx", "s"}
 
 
+def test_stateful_reorder_buffer_heals_disorder(spark, tmp_path):
+    """Watermark reorder buffer: a middle time-slice delivered FIRST is
+    held in state until the earlier slice arrives, so the fold sees rows
+    in event-time order; the tail (< reorder_ms from the high-water mark)
+    stays buffered until flush — bounded disorder is healed exactly."""
+    import time as _time
+    import pyspark.sql.types as T
+    from openmldb_spark.streaming.stateful import stream_running_features
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    slices = [  # written B, A, C — B is out of order
+        [("x", 3, 4000, 3.0), ("x", 4, 5000, 4.0), ("x", 5, 6000, 5.0)],
+        [("x", 0, 1000, 0.0), ("x", 1, 2000, 1.0), ("x", 2, 3000, 2.0)],
+        [("x", 6, 20000, 6.0), ("x", 7, 21000, 7.0), ("x", 8, 22000, 8.0)],
+    ]
+    src = str(tmp_path / "reorder_src")
+    for sl in slices:
+        spark.createDataFrame(sl, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (
+        stream_running_features(stream, gap_ms=60_000, reorder_ms=3500)
+        .writeStream.format("memory").queryName("reordered")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r.turn_idx: (r.session_id, r.run_sum, r.run_cnt, r.prev_value)
+           for r in spark.table("reordered").collect()}
+    # turns 0..5 emitted in event order with exact running state; the C
+    # slice is < reorder_ms from the final high-water mark → still held
+    exp = {0: (0, 0.0, 1, None), 1: (0, 1.0, 2, 0.0), 2: (0, 3.0, 3, 1.0),
+           3: (0, 6.0, 4, 2.0), 4: (0, 10.0, 5, 3.0), 5: (0, 15.0, 6, 4.0)}
+    clean = {k: (s, rs, rc, None if p != p else p) if p is not None
+             else (s, rs, rc, p)
+             for k, (s, rs, rc, p) in got.items()}
+    assert clean == exp, clean
+
+
 def test_stateful_running_features_matches_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState operator: streamed running features equal
     the batch computation (sessionized cumsum/lag) on the same data."""
