@@ -121,8 +121,11 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(ensure_parallelism(df), text_col, id_col,
                               n_hashes, shingle_k, hash_fn)
     if materialize == "parquet":
+        import atexit
+        import shutil
         import tempfile
         path = tempfile.mkdtemp(prefix="minhash_sigs_")
+        atexit.register(shutil.rmtree, path, True)
         sigs.write.mode("overwrite").parquet(path)
         sigs = df.sparkSession.read.parquet(path)
     elif materialize != "none":

@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
+from openmldb_spark.pipeline.dedup import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -52,6 +54,7 @@ def ann_bruteforce(
 
     q = F.broadcast(queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")))
+    corpus = ensure_parallelism(corpus)
     sims = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
         query_id_col, id_col,
         cosine_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
@@ -102,6 +105,7 @@ def ann_lsh(
             "ann_lsh requires dim= (embedding dimensionality is schema "
             "knowledge; a .first() probe would run a job at plan time)")
     planes = _planes(dim, n_planes, seed)
+    corpus = ensure_parallelism(corpus)
     cb = corpus.select(
         F.col(id_col), F.col(vec_col),
         lsh_bucket_col(F.col(vec_col), planes).alias("__bucket"),
@@ -133,7 +137,7 @@ def embedding_near_dups(
     n_planes=0 → exact quadratic join (oracle tier). n_planes>0 → only
     same-LSH-bucket pairs compared (scale tier; high-cosine pairs collide
     with probability (1 - θ/π)^n_planes)."""
-    base = corpus.select(F.col(id_col), F.col(vec_col))
+    base = ensure_parallelism(corpus).select(F.col(id_col), F.col(vec_col))
     if n_planes > 0:
         if dim is None:
             raise ValueError(
