@@ -87,6 +87,65 @@ def _agg_field(agg: Agg, in_field: T.StructField | None) -> T.StructField:
     return T.StructField(agg.alias, T.DoubleType())
 
 
+def _logical_name(dt: T.DataType) -> str:
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, _INT_TYPES):
+        return "bigint"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    return "string"
+
+
+_FMT_FUNCS = ("top", "top_n_frequency", "distinct_count")
+
+
+def _fill_agg_types(a: Agg, in_fields: dict) -> Agg:
+    import dataclasses
+    val_type, cate_type = a.val_type, a.cate_type
+    if val_type is None and a.col in in_fields and (
+            a.func in _FMT_FUNCS or "_cate" in a.func):
+        val_type = _logical_name(in_fields[a.col].dataType)
+    if cate_type is None and a.cate and a.cate in in_fields:
+        cate_type = _logical_name(in_fields[a.cate].dataType)
+    if val_type is a.val_type and cate_type is a.cate_type:
+        return a
+    return dataclasses.replace(a, val_type=val_type, cate_type=cate_type)
+
+
+_MS_AGG_FUNCS = {"sum", "avg", "sum_where", "avg_where",
+                 "min", "max", "min_where", "max_where"}
+
+
+def _ms_view_for_ts_aggs(df: DataFrame, aggs: list[Agg], fields: dict):
+    """Repoint sum/avg (and cate values) over TimestampType columns to a
+    derived unix-ms long column; returns (df, updated aggs, ts_cols)."""
+    import dataclasses
+
+    ts_cols = {
+        a.col for a in aggs
+        if (a.func in _MS_AGG_FUNCS or "_cate" in a.func)
+        and a.col in fields
+        and isinstance(fields[a.col].dataType, T.TimestampType)
+    }
+    if not ts_cols:
+        return df, aggs, ts_cols
+    for c in ts_cols:
+        if f"__ms_{c}" not in df.columns:
+            df = df.withColumn(f"__ms_{c}", F.unix_millis(F.col(c)))
+    aggs = [dataclasses.replace(a, col=f"__ms_{a.col}")
+            if a.col in ts_cols
+            and (a.func in _MS_AGG_FUNCS or "_cate" in a.func) else a
+            for a in aggs]
+    return df, aggs, ts_cols
+
+
 def _pandas_dtype(dt: T.DataType):
     if isinstance(dt, T.LongType):
         return "Int64"
@@ -128,6 +187,21 @@ def window_agg(
         if union or not _builtin_ok(spec, aggs, union):
             raise ValueError("builtin tier cannot express this spec")
         return _builtin_window(df, spec, aggs, keep_cols)
+
+    # fill logical input types (csv-UDAF formatting) from the schema,
+    # then give numeric reductions over TIMESTAMP columns an int64-ms
+    # view — the reference's timestamps ARE int64 ms, while pandas would
+    # hand the kernel nanoseconds (sum/avg over ts, last_join_window
+    # corpus case 2)
+    schema_fields = {f.name: f for f in df.schema.fields}
+    aggs = [_fill_agg_types(a, schema_fields) for a in aggs]
+    df, aggs, ts_cols = _ms_view_for_ts_aggs(df, aggs, schema_fields)
+    if ts_cols and union:
+        union = [
+            u.withColumns({f"__ms_{c}": F.unix_millis(F.col(c))
+                           for c in ts_cols if c in u.columns})
+            for u in union
+        ]
 
     needed = set(keys) | set(keep_cols) | set(spec.tiebreak) | {spec.order_by}
     for a in aggs:

@@ -150,20 +150,24 @@ class _SparseTable:
         return out
 
 
-def _factorize_sorted(s: pd.Series):
+def _factorize_sorted(s: pd.Series, fmt=None):
     """Factorize to int codes with uniques sorted ascending in NATIVE key
     order — the reference's containers are std::map<StorageK> with
     native-type comparison (BoundedGroupByDict, udf/containers.h), so
     numeric category keys emit numerically (2 before 10) while string
-    keys emit lexicographically. Emit strings use _fmt_num so float-typed
-    keys from nullable int columns render as ints. Nulls → -1."""
+    keys emit lexicographically. ``fmt`` renders the emit strings (the
+    logical-type formatter from typed_formatter); default _fmt_num so
+    float-typed keys from nullable int columns render as ints.
+    Nulls → -1."""
     codes, uniques = pd.factorize(s.to_numpy(object))
     if pd.api.types.is_numeric_dtype(s) and len(uniques):
         order = np.argsort(np.asarray(uniques, dtype=np.float64),
                            kind="stable")
-        uniq_str = np.array([_fmt_num(u) for u in uniques], dtype=object)
+        uniq_str = np.array([(fmt or _fmt_num)(u) for u in uniques],
+                            dtype=object)
     else:
-        uniq_str = np.array([str(u) for u in uniques], dtype=object)
+        uniq_str = np.array([(fmt or str)(u) for u in uniques],
+                            dtype=object)
         order = np.argsort(uniq_str, kind="stable")
     inv = np.empty(len(order), dtype=np.int64)
     inv[order] = np.arange(len(order))
@@ -183,13 +187,15 @@ def _cat_prefix(codes_e: np.ndarray, weights: np.ndarray | None, u: int):
     return M
 
 
-def cat_counts(pdf, col, cond, idx_e, lo, hi, E, anchored):
+def cat_counts(pdf, col, cond, idx_e, lo, hi, E, anchored, fmt=None,
+               series=None):
     """Per-emit-frame category counts matrix (n_emit × u) + sorted uniques.
 
     Replaces per-row value_counts loops with two vectorized ops:
     one-hot scatter + cumsum, then M[hi]-M[lo].
     """
-    codes, uniq = _factorize_sorted(pdf[col])
+    codes, uniq = _factorize_sorted(
+        pdf[col] if series is None else series, fmt)
     if cond is not None:
         cm = pdf[cond].fillna(False).to_numpy(bool)
         codes = np.where(cm, codes, -1)
@@ -237,7 +243,8 @@ def topn_freq_strings(counts: np.ndarray, uniq: np.ndarray, k: int,
 
 
 def cate_agg_strings(pdf, cate_col, val_col, cond, base, idx_e, lo, hi, E,
-                     anchored, numeric, top_n: int | None = None) -> list:
+                     anchored, numeric, top_n: int | None = None,
+                     key_fmt=None, val_fmt=None) -> list:
     """{sum,count,avg,min,max}_cate[_where] and the top_n_key_* variants:
     per-category aggregate within the frame, emitted "k1:v1,k2:v2" sorted
     by key ascending (*_by_category_def.cc). ``top_n``: keep only the n
@@ -248,7 +255,15 @@ def cate_agg_strings(pdf, cate_col, val_col, cond, base, idx_e, lo, hi, E,
 
     sum/count/avg via category prefix sums (vectorized); min/max via
     per-row numpy slices (no prefix structure)."""
-    codes, uniq = _factorize_sorted(pdf[cate_col])
+    codes, uniq = _factorize_sorted(pdf[cate_col], key_fmt)
+    # value rendering: count is always %lld; avg always %f (double
+    # accumulator); sum/min/max render in the value column's own type
+    if base == "count":
+        vfmt = lambda v: str(int(v))  # noqa: E731
+    elif base == "avg":
+        vfmt = (lambda v: f"{float(v):.6f}") if val_fmt else _fmt_num
+    else:
+        vfmt = val_fmt or _fmt_num
     x, _, _ = numeric(val_col)
     valid = (codes >= 0) & ~np.isnan(x)
     if cond is not None:
@@ -284,7 +299,7 @@ def cate_agg_strings(pdf, cate_col, val_col, cond, base, idx_e, lo, hi, E,
             if top_n is not None:
                 cs = cs[-top_n:][::-1] if top_n > 0 else []
             parts = [
-                f"{uniq[c]}:{_fmt_num(int(cnt[r, c])) if is_count else _fmt_num(vals[r, c])}"
+                f"{uniq[c]}:{vfmt(int(cnt[r, c])) if is_count else vfmt(vals[r, c])}"
                 for c in cs
             ]
             out.append(",".join(parts))
@@ -308,7 +323,7 @@ def cate_agg_strings(pdf, cate_col, val_col, cond, base, idx_e, lo, hi, E,
         cs = sorted(acc)
         if top_n is not None:
             cs = cs[-top_n:][::-1] if top_n > 0 else []
-        out.append(",".join(f"{uniq[c]}:{_fmt_num(acc[c])}" for c in cs))
+        out.append(",".join(f"{uniq[c]}:{vfmt(acc[c])}" for c in cs))
     return out
 
 
@@ -397,6 +412,37 @@ def _fmt_num(v) -> str:
             return f"{f:.6f}".rstrip("0").rstrip(".") if "." in f"{f:.6f}" else str(f)
         return repr(f)
     return str(v)
+
+
+_INT_LOGICAL = {"int", "int16", "int32", "int64", "bigint", "smallint",
+                "short", "long", "tinyint"}
+_FLOAT_LOGICAL = {"float", "double"}
+
+
+def _ts8_str(v) -> str:
+    """ms (or pandas Timestamp) → the reference's timestamp string
+    (fixed UTC+8, format_string<Timestamp>, udf.cc:1030-1039)."""
+    import datetime
+    ms = v.value // 10**6 if isinstance(v, pd.Timestamp) else int(v)
+    return datetime.datetime.utcfromtimestamp(
+        (ms + 28_800_000) // 1000).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def typed_formatter(logical: str | None):
+    """Per-logical-type value formatter matching the reference's
+    format_string specializations (udf.cc:991-1060): ints "%d",
+    float/double "%f" (6 decimals), timestamp UTC+8 datetime. None →
+    the generic repr-ish _fmt_num (API callers without type info)."""
+    if logical is None:
+        return _fmt_num
+    t = logical.lower()
+    if t in _INT_LOGICAL:
+        return lambda v: str(int(v))
+    if t in _FLOAT_LOGICAL:
+        return lambda v: f"{float(v):.6f}"
+    if t == "timestamp":
+        return lambda v: _ts8_str(v)
+    return str
 
 
 def group_window_features(
@@ -563,8 +609,26 @@ def group_window_features(
             # One-hot prefix-sum over factorized categories: counts for all
             # emit frames in two numpy ops (categorical cardinality in
             # feature data is small; guarded fallback below).
+            series = None
+            if f == "distinct_count" and pdf[col].isna().any():
+                # the reference's DistinctCountDef takes a NON-nullable T
+                # (default_udf_library.cc:237-272): a NULL row inserts
+                # the type's default value (0 / "") into the set, so
+                # nulls count as one distinct default-valued entry
+                s = pdf[col]
+                if agg.val_type == "bool" or \
+                        pd.api.types.is_bool_dtype(s):
+                    series = s.fillna(False)
+                elif pd.api.types.is_datetime64_any_dtype(s):
+                    series = s.fillna(pd.Timestamp(0))
+                elif pd.api.types.is_numeric_dtype(s):
+                    series = s.fillna(0)
+                else:
+                    series = s.fillna("")
             counts, uniq = cat_counts(pdf, col, None, idx_e, lo, hi, E,
-                                      anchored)
+                                      anchored,
+                                      fmt=typed_formatter(agg.val_type),
+                                      series=series)
             if f == "distinct_count":
                 out[alias] = (counts > 0).sum(axis=1).astype(np.float64)
             elif f == "top1_ratio":
@@ -578,6 +642,7 @@ def group_window_features(
                 out[alias] = topn_freq_strings(counts, uniq, k, frame_n)
         elif f == "top":
             k = int(agg.param or 1)
+            tfmt = typed_formatter(agg.val_type)
             x, x_e, nn = numeric(col)
             xv = np.where(nn, x_e, np.nan)
             sv, ok = self_vals(col, None)
@@ -589,7 +654,7 @@ def group_window_features(
                     fr = np.append(fr, sv[j])
                 if len(fr) > k:
                     fr = fr[np.argpartition(fr, len(fr) - k)[len(fr) - k:]]
-                res.append(",".join(_fmt_num(v) for v in np.sort(fr)[::-1]))
+                res.append(",".join(tfmt(v) for v in np.sort(fr)[::-1]))
             out[alias] = res
         elif f in ("window_split", "window_split_by_key",
                    "window_split_by_value"):
@@ -607,6 +672,9 @@ def group_window_features(
             out[alias] = cate_agg_strings(
                 pdf, agg.cate, col, cond, base, idx_e, lo, hi, E, anchored,
                 numeric, top_n=top_n,
+                key_fmt=typed_formatter(agg.cate_type),
+                val_fmt=typed_formatter(agg.val_type)
+                if agg.val_type else None,
             )
         else:  # pragma: no cover
             raise ValueError(f"unhandled agg func {f}")

@@ -76,6 +76,14 @@ class Agg:
     delim: str | None = None      # window_split*: row delimiter
     kv_delim: str | None = None   # window_split_by_{key,value}
     sep: str = ","                # output join separator (fz_join)
+    # logical input types for csv-emitting UDAFs (top / *_cate /
+    # top_n_frequency): the reference formats by the column's LOGICAL
+    # type (ints %lld, float/double %f, timestamp "%Y-%m-%d %H:%M:%S"
+    # at UTC+8 — udf.cc format_string specializations), which the kernel
+    # cannot recover from pandas dtypes alone. window_agg fills these
+    # from the Spark schema; None keeps the generic repr formatting.
+    val_type: str | None = None   # logical type of `col`
+    cate_type: str | None = None  # logical type of `cate`
 
     def __post_init__(self):
         if self.func not in KERNEL_AGG_FUNCS:

@@ -555,7 +555,10 @@ SQL_TOPN_FREQUENCY = transcripts_sql(f"""
          COUNT(*) AS cnt
   FROM ranked WHERE rk <= 2 GROUP BY 1, 2
 ), nt AS (
-  SELECT t.conv_id, t.turn_idx, COUNT(DISTINCT h.tool) AS n_tools
+  -- distinct_count folds NULL into the type default (the reference's
+  -- DistinctCountDef takes non-nullable T): null tool counts as ''
+  SELECT t.conv_id, t.turn_idx,
+         COUNT(DISTINCT COALESCE(h.tool, '')) AS n_tools
   FROM transcripts t LEFT JOIN transcripts h
     ON h.conv_id = t.conv_id
    AND h.ts_ms <= t.ts_ms AND h.ts_ms >= t.ts_ms - {HOUR}

@@ -138,10 +138,11 @@ def rewrite_calls(text: str, handler) -> str:
             out.append(text[i:j])
             i = j
             continue
-        m = re.match(r"[A-Za-z_]\w*", text[i:])
+        m = re.match(r"`([A-Za-z_]\w*)`|[A-Za-z_]\w*", text[i:])
         if m:
-            name = m.group(0)
-            j = i + len(name)
+            raw = m.group(0)
+            name = m.group(1) or raw   # `string`(x) = string(x)
+            j = i + len(raw)
             k = j
             while k < n and text[k].isspace():
                 k += 1
@@ -156,7 +157,7 @@ def rewrite_calls(text: str, handler) -> str:
                            else f"{name}({', '.join(args)})")
                 i = p + 1
                 continue
-            out.append(name)
+            out.append(raw)
             i = j
             continue
         out.append(ch)
@@ -174,11 +175,45 @@ def rewrite_calls(text: str, handler) -> str:
 # isnull, lcase, ucase, char_length, like/ilike operators, all
 # function-style casts int/bigint/smallint/float/double/string/date/
 # timestamp...) pass through to Catalyst untouched.
+def _str8(a: str) -> str:
+    """OpenMLDB's to-string: timestamps render at fixed UTC+8 as
+    "%Y-%m-%d %H:%M:%S"; float/double drop a trailing ".0" (the C
+    formatter prints 30.0f as "30"); everything else casts plainly."""
+    return (f"(CASE WHEN typeof({a}) = 'timestamp' THEN "
+            f"date_format(from_utc_timestamp(try_cast(cast({a} as string) "
+            f"as timestamp), '+08:00'), 'yyyy-MM-dd HH:mm:ss') "
+            f"WHEN typeof({a}) IN ('float', 'double') THEN "
+            f"regexp_replace(cast({a} as string), '\\\\.0$', '') "
+            f"ELSE cast({a} as string) END)")
+
+
+def _try_cast(a: str, typ: str) -> str:
+    """OpenMLDB casts return NULL on unparseable input (udf.cc
+    string_to_* set is_null); Spark's ANSI casts throw — use try_cast."""
+    return f"try_cast({a} as {typ})"
+
+
 _SQL_FN: dict = {
     "bool": lambda a: f"boolean({a})",
-    "int16": lambda a: f"smallint({a})",
-    "int32": lambda a: f"int({a})",
-    "int64": lambda a: f"bigint({a})",
+    "int16": lambda a: _try_cast(a, "smallint"),
+    "int32": lambda a: _try_cast(a, "int"),
+    "int64": lambda a: _try_cast(a, "bigint"),
+    "int": lambda a: _try_cast(a, "int"),
+    "bigint": lambda a: _try_cast(a, "bigint"),
+    "smallint": lambda a: _try_cast(a, "smallint"),
+    "float": lambda a: _try_cast(a, "float"),
+    "double": lambda a: _try_cast(a, "double"),
+    "string": lambda a: _str8(a),
+    "concat": lambda *a: f"concat({', '.join(_str8(x) for x in a)})",
+    # concat_ws: NULL separator or any NULL argument yields NULL in the
+    # reference (cases/function/function/test_string.yaml:3); Spark
+    # would skip null arguments instead
+    "concat_ws": lambda sep, *a: (
+        "(CASE WHEN "
+        + " OR ".join(f"({x}) IS NULL" for x in (sep, *a))
+        + f" THEN cast(NULL as string) ELSE concat_ws({_str8(sep)}"
+        + (", " + ", ".join(_str8(x) for x in a) if a else "")
+        + ") END)"),
     "is_null": lambda a: f"isnull({a})",
     "if_null": lambda a, b: f"nvl({a}, {b})",
     "minimum": lambda a, b: f"least({a}, {b})",
@@ -187,7 +222,8 @@ _SQL_FN: dict = {
     "identity": lambda a: f"({a})",
     "char": lambda a: f"chr({a})",
     "strcmp": lambda a, b: (
-        f"(CASE WHEN ({a}) < ({b}) THEN -1 "
+        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+        f"THEN cast(NULL as int) WHEN ({a}) < ({b}) THEN -1 "
         f"WHEN ({a}) > ({b}) THEN 1 ELSE 0 END)"),
     "truncate": lambda a: (
         f"double(CASE WHEN ({a}) < 0 THEN ceil({a}) ELSE floor({a}) END)"),
@@ -207,15 +243,23 @@ _SQL_FN: dict = {
     # in the integer branch: cast(date as bigint) would not typecheck.
     "timestamp": lambda a: (
         f"(CASE WHEN typeof({a}) IN ('string', 'date') "
-        f"THEN to_utc_timestamp(cast({a} as timestamp), '+08:00') "
+        f"THEN to_utc_timestamp(try_cast(cast({a} as string) as "
+        f"timestamp), '+08:00') "
         f"WHEN typeof({a}) IN ('tinyint', 'smallint', 'int', 'bigint') "
-        f"THEN timestamp_millis(cast(cast({a} as string) as bigint)) "
-        f"ELSE cast({a} as timestamp) END)"),
+        f"THEN timestamp_millis(try_cast(cast({a} as string) as bigint)) "
+        f"ELSE try_cast(cast({a} as string) as timestamp) END)"),
     "date": lambda a: (
         f"(CASE WHEN typeof({a}) = 'timestamp' "
-        f"THEN cast(from_utc_timestamp(cast({a} as timestamp), '+08:00') "
-        f"as date) ELSE cast({a} as date) END)"),
+        f"THEN cast(from_utc_timestamp(cast({a} as timestamp), "
+        f"'+08:00') as date) "
+        f"ELSE try_cast(cast({a} as string) as date) END)"),
     "cast": lambda a: _cast_tpl(a),
+    # C math returns NaN outside the domain (reference uses libm);
+    # Spark's ANSI functions return NULL there
+    "asin": lambda a: (f"(CASE WHEN abs(try_cast({a} as double)) > 1 "
+                       f"THEN double('NaN') ELSE asin({a}) END)"),
+    "acos": lambda a: (f"(CASE WHEN abs(try_cast({a} as double)) > 1 "
+                       f"THEN double('NaN') ELSE acos({a}) END)"),
 }
 
 
@@ -227,8 +271,8 @@ def _local_ts(a: str) -> str:
             f"THEN from_utc_timestamp(cast({a} as timestamp), '+08:00') "
             f"WHEN typeof({a}) IN ('tinyint', 'smallint', 'int', 'bigint') "
             f"THEN from_utc_timestamp(timestamp_millis("
-            f"cast(cast({a} as string) as bigint)), '+08:00') "
-            f"ELSE cast({a} as timestamp) END)")
+            f"try_cast(cast({a} as string) as bigint)), '+08:00') "
+            f"ELSE try_cast({a} as timestamp) END)")
 
 
 # date-part extraction: OpenMLDB accepts timestamp/date/int64-ms inputs
@@ -260,7 +304,9 @@ def _cast_tpl(arg: str) -> str | None:
     inner, typ = m.group(1), m.group(2).lower()
     if typ in ("timestamp", "date"):
         return _SQL_FN[typ](inner)
-    return f"cast({inner} as {_CAST_TYPES.get(typ, typ)})"
+    if typ == "string":
+        return _str8(inner)
+    return f"try_cast({inner} as {_CAST_TYPES.get(typ, typ)})"
 
 
 def _like_tpl(op: str, s: str, pat: str, esc: str | None = None) -> str:
@@ -399,6 +445,9 @@ class WindowQuery:
     # window name → (spec, union_idx, aggs)
     windows: dict = field(default_factory=dict)
     primary_idx: int = 0
+    # auxiliary computed columns (translated expr → column name) for
+    # expression-valued aggregate arguments
+    aux: dict = field(default_factory=dict)
 
 
 def _lift_anonymous_windows(sql: str) -> str:
@@ -423,8 +472,14 @@ def _lift_anonymous_windows(sql: str) -> str:
     return new
 
 
-def _parse_agg_call(fn: str, argtxt: str) -> dict:
-    """One kernel aggregate call → Agg kwargs {func,col,param,cond,cate}."""
+def _parse_agg_call(fn: str, argtxt: str, aux: dict | None = None) -> dict:
+    """One kernel aggregate call → Agg kwargs {func,col,param,cond,cate}.
+
+    Non-identifier value/condition arguments (``sum(c3+c4)``,
+    ``count_where(c1, c2<4)``) allocate an auxiliary computed column in
+    ``aux`` (translated-expr → column name) that the executor adds to the
+    input before the kernel runs — the reference compiles these argument
+    expressions into the same row-projection stage."""
     fn = fn.lower()
     if fn == "fz_topn_frequency":
         fn = "top_n_frequency"
@@ -435,9 +490,14 @@ def _parse_agg_call(fn: str, argtxt: str) -> dict:
 
     def ident(a):
         a = _strip_t(a)
-        if not re.fullmatch(r"\w+", a):
+        if re.fullmatch(r"\w+", a):
+            return a
+        if aux is None:
             raise SqlUnsupported(f"aggregate argument {a!r}")
-        return a
+        expr = translate_expr(a)
+        if expr not in aux:
+            aux[expr] = f"__x{len(aux)}"
+        return aux[expr]
 
     kw: dict = {"func": fn, "col": ident(args[0]) if args else "",
                 "param": None, "cond": None, "cate": None}
@@ -469,8 +529,9 @@ def _parse_agg_call(fn: str, argtxt: str) -> dict:
 class _AggAlloc:
     """Dedup-and-allocate kernel aggregates across projection items."""
 
-    def __init__(self, windows: dict):
+    def __init__(self, windows: dict, aux: dict):
         self.windows = windows
+        self.aux = aux
         self.seen: dict[tuple, str] = {}
 
     def get(self, wname: str, kw: dict) -> str:
@@ -501,18 +562,19 @@ def _extract_window_aggs(item: str, alloc: _AggAlloc) -> str:
             out.append(item[i:j])
             i = j
             continue
-        m = re.match(r"[A-Za-z_]\w*", item[i:])
+        m = re.match(r"`([A-Za-z_]\w*)`|[A-Za-z_]\w*", item[i:])
         if not m:
             out.append(ch)
             i += 1
             continue
-        name = m.group(0)
-        j = i + len(name)
+        raw = m.group(0)
+        name = m.group(1) or raw
+        j = i + len(raw)
         k = j
         while k < n and item[k].isspace():
             k += 1
         if k >= n or item[k] != "(":
-            out.append(name)
+            out.append(raw)
             i = j
             continue
         p = _match_paren(item, k)
@@ -527,7 +589,8 @@ def _extract_window_aggs(item: str, alloc: _AggAlloc) -> str:
         argtxt = item[k + 1:p]
         lname = name.lower()
         if lname in KERNEL_AGG_FUNCS or lname == "fz_topn_frequency":
-            out.append(alloc.get(wname, _parse_agg_call(lname, argtxt)))
+            out.append(alloc.get(
+                wname, _parse_agg_call(lname, argtxt, alloc.aux)))
         else:
             bound = _bind_nested_aggs(argtxt, wname, alloc)
             out.append(f"{name}({bound})")
@@ -540,7 +603,8 @@ def _bind_nested_aggs(text: str, wname: str, alloc: _AggAlloc) -> str:
 
     def handler(n, args):
         if n in KERNEL_AGG_FUNCS or n == "fz_topn_frequency":
-            return alloc.get(wname, _parse_agg_call(n, ", ".join(args)))
+            return alloc.get(
+                wname, _parse_agg_call(n, ", ".join(args), alloc.aux))
         return None
 
     return rewrite_calls(text, handler)
@@ -567,7 +631,7 @@ def compile_window_sql(sql: str) -> WindowQuery:
     if not q.windows:
         raise SqlUnsupported("no window definitions")
 
-    alloc = _AggAlloc(q.windows)
+    alloc = _AggAlloc(q.windows, q.aux)
     for item in split_projection(m.group("proj")):
         item = item.strip()
         rewritten = _extract_window_aggs(item, alloc)
@@ -736,6 +800,33 @@ def run_sql(spark, sql: str, tables, params=None):
     if params is not None:
         sql = bind_params(sql, list(params))
     sql, tables = canonicalize_tables(sql, tables)
+    try:
+        return _dispatch_sql(spark, sql, tables)
+    except Exception as e:
+        # OpenMLDB treats TIMESTAMP as int64 ms in arithmetic/comparison
+        # (udf.cc Timestamp.ts_); Spark's analyzer rejects ts+int. Retry
+        # with millisecond views — every calendar/cast template typeof-
+        # dispatches, so date parts still render identically on int64 ms.
+        if type(e).__name__ != "AnalysisException" or \
+                "DATATYPE_MISMATCH" not in str(e):
+            raise
+        return _dispatch_sql(spark, sql, _ms_tables(tables))
+
+
+def _ms_tables(tables: list) -> list:
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    out = []
+    for df in tables:
+        sel = [F.unix_millis(F.col(f.name)).alias(f.name)
+               if isinstance(f.dataType, T.TimestampType) else F.col(f.name)
+               for f in df.schema.fields]
+        out.append(df.select(*sel))
+    return out
+
+
+def _dispatch_sql(spark, sql: str, tables):
     has_lj = bool(re.search(r"last\s+join", sql, re.IGNORECASE))
     has_win = bool(re.search(r"\bWINDOW\b|\bOVER\b", sql, re.IGNORECASE))
     if not has_lj and not has_win:
@@ -747,6 +838,10 @@ def run_sql(spark, sql: str, tables, params=None):
     if lm:
         limit = int(lm.group(1))
         sql = sql[:lm.start()] + ";"
+        if limit == 0:
+            # LIMIT 0 means NO limit in OpenMLDB (GetLimitCnt()==0,
+            # cases/function/select/test_select_sample.yaml:12)
+            limit = None
     if has_lj and has_win:
         return _run_lastjoin_window_sql(sql, tables, limit=limit)
     if has_lj:
@@ -765,6 +860,8 @@ def _run_plain_sql(spark, sql: str, tables: list):
     # OpenMLDB's parser tolerates a trailing comma in the select list
     # (cases/query/udf_query.yaml udf_replace); Spark's does not
     sql = re.sub(r",\s*(FROM\b)", r" \1", sql, flags=re.IGNORECASE)
+    # LIMIT 0 = unlimited in OpenMLDB (GetLimitCnt()==0 means unset)
+    sql = re.sub(r"\blimit\s+0\s*;?\s*$", ";", sql, flags=re.IGNORECASE)
     return spark.sql(translate_expr(sql))
 
 
@@ -823,7 +920,10 @@ def _run_window_sql(sql: str, tables: list, limit: int | None = None):
     from openmldb_spark.operators.window import window_agg
 
     q = compile_window_sql(sql)
-    primary = tables[q.primary_idx].withColumn(
+    primary = tables[q.primary_idx]
+    for expr, name in q.aux.items():
+        primary = primary.withColumn(name, F.expr(expr))
+    primary = primary.withColumn(
         _RID, F.monotonically_increasing_id())
     # localCheckpoint (eager) pins the row id physically — it is
     # plan-dependent otherwise — and, unlike persist(), its blocks are
@@ -844,6 +944,8 @@ def _run_window_sql(sql: str, tables: list, limit: int | None = None):
         if not aggs:
             continue
         union = [tables[i] for i in union_idx]
+        for expr, name in q.aux.items():
+            union = [u.withColumn(name, F.expr(expr)) for u in union]
         out = window_agg(primary, spec, aggs, keep_cols=[_RID],
                          union=union or None, tier="kernel")
         merged = merged.join(out, _RID, "inner")
@@ -890,6 +992,20 @@ def _run_lastjoin_sql(sql: str, tables: list, limit: int | None = None):
     return res[0].select(*res[1])
 
 
+def _split_conds(cond_txt: str) -> list[str]:
+    """Split a join condition on top-level ANDs, keeping the AND that
+    belongs to a BETWEEN ... AND ... intact."""
+    parts = re.split(r"\s+and\s+", cond_txt, flags=re.IGNORECASE)
+    out: list[str] = []
+    for p in parts:
+        if out and re.search(r"\bbetween\b\s*\S*$",
+                             out[-1], re.IGNORECASE | re.DOTALL):
+            out[-1] = f"{out[-1]} AND {p}"
+        else:
+            out.append(p)
+    return out
+
+
 def _one_last_join(left, right, order, cond_txt, rid=False,
                    rprefix="r__"):
     """Execute one LAST JOIN of `right` into `left`; right columns come
@@ -906,7 +1022,7 @@ def _one_last_join(left, right, order, cond_txt, rid=False,
     right = right.select(*[F.col(c).alias(f"{rprefix}{c}")
                            for c in right.columns])
     equi, residual = [], []
-    for tok in re.split(r"\s+and\s+", cond_txt, flags=re.IGNORECASE):
+    for tok in _split_conds(cond_txt):
         tok = tok.strip()
         em = re.fullmatch(r"\{0\}\.(\w+)\s*=\s*\{\d\}\.(\w+)", tok) or \
             re.fullmatch(r"\{\d\}\.(?P<r>\w+)\s*=\s*\{0\}\.(?P<l>\w+)", tok)
@@ -924,7 +1040,10 @@ def _one_last_join(left, right, order, cond_txt, rid=False,
             rhs = re.sub(r"\{\d\}\.(\w+)", rf"{rprefix}\1", rhs)
             residual.append(f"{lhs} {op} {rhs}")
             continue
-        raise SqlUnsupported(f"join condition {tok!r}")
+        # general residual (BETWEEN, IS NULL, function calls, ...)
+        gen = re.sub(r"\{0\}\.(\w+)", r"\1", tok)
+        gen = re.sub(r"\{\d\}\.(\w+)", rf"{rprefix}\1", gen)
+        residual.append(f"({translate_expr(gen)})")
 
     # right key/order columns are aliased away by last_join: duplicate
     # any the residual needs, and keep rk__ copies for projections

@@ -107,5 +107,9 @@ def oracle_agg(rows, i, spec, func, col, param=None, cond=None, cate=None):
     if func in ("max", "max_where"):
         return max(nn) if nn else None
     if func == "distinct_count":
-        return len(set(nn))
+        # NULL folds into the type default (DistinctCountDef takes a
+        # non-nullable T): nulls count as one default-valued entry
+        return len({0 if v is None or (isinstance(v, float)
+                                       and math.isnan(v)) else v
+                    for v in vals})
     raise ValueError(func)

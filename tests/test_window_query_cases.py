@@ -21,8 +21,17 @@ _TYPES = {
     "int64": T.LongType(), "bigint": T.LongType(),
     "float": T.FloatType(), "double": T.DoubleType(),
     "string": T.StringType(), "bool": T.BooleanType(),
-    "timestamp": T.LongType(), "date": T.StringType(),
+    "timestamp": T.TimestampType(), "date": T.StringType(),
 }
+
+
+def _ms_to_dt(ms):
+    """yaml int64 ms → naive UTC datetime (session tz is UTC)."""
+    import datetime
+    if ms is None:
+        return None
+    return datetime.datetime.utcfromtimestamp(ms // 1000).replace(
+        microsecond=(ms % 1000) * 1000)
 
 
 class Unsupported(Exception):
@@ -77,6 +86,8 @@ def _mk_named_df(spark, inp):
             rows = [[_parse_value(v, t)
                      for v, (_, t) in zip(line.split(","), cols)]
                     for line in str(inp["data"]).strip().splitlines()]
+        rows = [[_ms_to_dt(v) if t == "timestamp" and isinstance(v, int)
+                 else v for v, (_, t) in zip(r, cols)] for r in rows]
         return inp.get("name", "t1"), spark.createDataFrame(rows, schema)
     if "schema" not in inp or "data" not in inp:
         raise Unsupported("input without schema/data")
@@ -89,7 +100,9 @@ def _mk_named_df(spark, inp):
         vals = line.split(",")
         if len(vals) != len(cols):
             raise Unsupported("ragged data row")
-        rows.append([_parse_value(v, t) for v, (_, t) in zip(vals, cols)])
+        parsed = [_parse_value(v, t) for v, (_, t) in zip(vals, cols)]
+        rows.append([_ms_to_dt(v) if t == "timestamp" and isinstance(v, int)
+                     else v for v, (_, t) in zip(parsed, cols)])
     return inp.get("name", "t1"), spark.createDataFrame(rows, schema)
 
 
@@ -114,7 +127,10 @@ def _check(spark, case):
     assert list(got.columns) == names, (list(got.columns), names)
     assert len(got) == len(erows), (len(got), len(erows))
 
-    grows = got.astype(object).where(pd.notna(got), None).values.tolist()
+    grows = [[v.value // 10**6 if isinstance(v, pd.Timestamp) else v
+              for v in r]
+             for r in got.astype(object).where(pd.notna(got), None)
+             .values.tolist()]
     order = exp.get("order")
     if order:
         oi = names.index(order)

@@ -88,6 +88,10 @@ def compile_case(case: dict):
         q = compile_window_sql(str(case["sql"]))
     except SqlUnsupported as e:
         raise Unsupported(str(e)) from None
+    if getattr(q, "aux", None):
+        # expression-valued aggregate arguments need Catalyst to compute
+        # auxiliary columns — Spark path only (test_full_corpus_spark)
+        raise Unsupported("aggregate argument expressions (Spark path)")
     return q.projection, q.windows
 
 
@@ -95,10 +99,18 @@ _RID = "__rid"
 
 
 def _run_window(pdf0, types0, inputs, spec, union_idx, aggs) -> pd.DataFrame:
+    import dataclasses
+
     for a in aggs:
         if a.func in ("sum", "avg", "top") and \
                 types0.get(a.col) in ("string", "date"):
             raise Unsupported(f"{a.func} over {types0.get(a.col)}")
+    # logical input types drive the csv-emitting UDAF formatting
+    aggs = [dataclasses.replace(
+        a,
+        val_type=a.val_type or types0.get(a.col),
+        cate_type=a.cate_type or (types0.get(a.cate) if a.cate else None),
+    ) for a in aggs]
 
     frames = [pdf0]
     for i in union_idx:
