@@ -119,8 +119,12 @@ def _fill_agg_types(a: Agg, in_fields: dict) -> Agg:
     return dataclasses.replace(a, val_type=val_type, cate_type=cate_type)
 
 
+# numeric reductions AND positional picks over TimestampType run on the
+# int64-ms view: the reference's timestamps are int64 ms, and the
+# kernel's raw-object lag/at output would not convert back through Arrow
 _MS_AGG_FUNCS = {"sum", "avg", "sum_where", "avg_where",
-                 "min", "max", "min_where", "max_where"}
+                 "min", "max", "min_where", "max_where",
+                 "lag", "at", "first_value"}
 
 
 def _ms_view_for_ts_aggs(df: DataFrame, aggs: list[Agg], fields: dict):

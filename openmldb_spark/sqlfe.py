@@ -254,6 +254,9 @@ _SQL_FN: dict = {
         f"'+08:00') as date) "
         f"ELSE try_cast(cast({a} as string) as date) END)"),
     "cast": lambda a: _cast_tpl(a),
+    # full-table UDAF spelling (window-scoped calls are extracted into
+    # kernel aggs before translation, so this only hits the plain path)
+    "distinct_count": lambda a: f"count(distinct {a})",
     # C math returns NaN outside the domain (reference uses libm);
     # Spark's ANSI functions return NULL there
     "asin": lambda a: (f"(CASE WHEN abs(try_cast({a} as double)) > 1 "
@@ -968,6 +971,14 @@ def _run_lastjoin_sql(sql: str, tables: list, limit: int | None = None):
     import pyspark.sql.functions as F
 
     sql = sql.strip().replace("\n", " ")
+    # resolve per-table aliases (`from {0} as t0` / `join {1} as t1` with
+    # `t1.col` refs — cases/query/fz_sql.yaml:3)
+    for am in list(re.finditer(
+            r"(?:join|from)\s+\{(\d+)\}\s+as\s+(\w+)", sql, re.IGNORECASE)):
+        sql = re.sub(rf"\b{re.escape(am.group(2))}\s*\.",
+                     f"{{{am.group(1)}}}.", sql)
+    sql = re.sub(r"((?:join|from)\s+\{\d+\})\s+as\s+\w+", r"\1", sql,
+                 flags=re.IGNORECASE)
     # optional WHERE after the join condition (parameterized_query.yaml:5)
     where_txt = None
     wm = re.search(r"\s+\bwhere\b\s+(?P<w>[^;]*?)\s*;?\s*$", sql,
