@@ -817,14 +817,22 @@ def run_sql(spark, sql: str, tables, params=None):
 
 
 def _ms_tables(tables: list) -> list:
+    """C-style operand views for the coercion retry: timestamps as int64
+    ms, booleans as ints (the reference's arithmetic treats both so —
+    cases/function/expression/test_arithmetic.yaml smallint%bool)."""
     import pyspark.sql.functions as F
     import pyspark.sql.types as T
 
     out = []
     for df in tables:
-        sel = [F.unix_millis(F.col(f.name)).alias(f.name)
-               if isinstance(f.dataType, T.TimestampType) else F.col(f.name)
-               for f in df.schema.fields]
+        sel = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampType):
+                sel.append(F.unix_millis(F.col(f.name)).alias(f.name))
+            elif isinstance(f.dataType, T.BooleanType):
+                sel.append(F.col(f.name).cast("int").alias(f.name))
+            else:
+                sel.append(F.col(f.name))
         out.append(df.select(*sel))
     return out
 
