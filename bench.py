@@ -128,10 +128,14 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec": turns_per_sec,
         "cores": cpus,
-        "plan_stats": stats,
     }
     if errors:
         rec["errors"] = errors
+    # plan_stats goes on its OWN earlier line: round 2's record was
+    # truncated because the combined line overflowed the driver's
+    # 2000-char tail capture — the compact timings record must be the
+    # final stdout line
+    print(json.dumps({"plan_stats": stats}))
     print(json.dumps(rec))
     spark.stop()
 

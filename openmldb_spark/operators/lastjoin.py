@@ -70,9 +70,13 @@ def last_join(
     joined = l.join(r, cond, "left")
 
     if spec.order_by:
-        # null order keys sort as +infinity: the corpus pins that an
-        # ascending LAST JOIN picks a null-ts right row over real
-        # timestamps (cases/function/window/test_maxsize.yaml:23-2)
+        # null order keys sort as +infinity: an ascending LAST JOIN
+        # picks a null-ts right row over real timestamps. Provenance is
+        # weak: the pinning case (cases/function/window/test_maxsize.yaml
+        # id 23-2) is tagged ["TODO"] (skipped by the reference harness),
+        # and the reference's offline JoinPlan reduceByKey would NPE
+        # unboxing a null time value — so this is our deliberate choice
+        # of a total order, not reference-exercised behavior.
         order = [
             F.col("__r_ord").desc_nulls_first()
             if spec.ascending

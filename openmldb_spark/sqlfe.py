@@ -82,6 +82,60 @@ def _skip_str(text: str, i: int) -> int:
     return j
 
 
+def _strip_backticks(text: str) -> str:
+    """Remove identifier backquotes (```col```) outside string
+    literals — the production feature scripts backtick-quote every
+    identifier (cases/function/spark/test_jd.yaml); our regex front end
+    and Spark both resolve the bare names identically."""
+    out, i = [], 0
+    while i < len(text):
+        ch = text[i]
+        if ch in "'\"":
+            j = _skip_str(text, i)
+            out.append(text[i:j])
+            i = j
+            continue
+        if ch != "`":
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _mask_strings(text: str) -> str:
+    """Replace quoted-literal contents with spaces (same length) so
+    regex sniffs/rewrites can't fire inside string literals."""
+    out, i = [], 0
+    while i < len(text):
+        ch = text[i]
+        if ch in "'\"":
+            j = _skip_str(text, i)
+            out.append(ch + " " * max(0, j - i - 2)
+                       + (text[j - 1] if j - 1 > i else ""))
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _sub_outside_strings(pattern, repl, text: str, flags=0) -> str:
+    """re.sub applied only to the non-string-literal segments."""
+    out, i = [], 0
+    while i < len(text):
+        ch = text[i]
+        if ch in "'\"":
+            j = _skip_str(text, i)
+            out.append(text[i:j])
+            i = j
+            continue
+        j = i
+        while j < len(text) and text[j] not in "'\"":
+            j += 1
+        out.append(re.sub(pattern, repl, text[i:j], flags=flags))
+        i = j
+    return "".join(out)
+
+
 def split_projection(proj: str) -> list[str]:
     """Split on top-level commas (paren- and quote-aware)."""
     out, depth, cur, i = [], 0, [], 0
@@ -229,6 +283,10 @@ _SQL_FN: dict = {
         f"double(CASE WHEN ({a}) < 0 THEN ceil({a}) ELSE floor({a}) END)"),
     "like_match": lambda *a: _like_tpl("LIKE", *a),
     "ilike_match": lambda *a: _like_tpl("ILIKE", *a),
+    # OpenMLDB date_format patterns are C strftime (%Y-%m-%d %H:%M:%S,
+    # hybridse default_udf_library.cc:669-697); Spark's are Java time
+    # patterns — rewrite the literal pattern (registry.strftime_to_java)
+    "date_format": lambda a, b=None: _date_format_tpl(a, b),
     "fz_split": lambda a, b: f"split({a}, {b})",
     "fz_split_by_key": lambda a, b, c: f"map_keys(str_to_map({a}, {b}, {c}))",
     "fz_split_by_value": lambda a, b, c:
@@ -312,6 +370,27 @@ def _cast_tpl(arg: str) -> str | None:
     return f"try_cast({inner} as {_CAST_TYPES.get(typ, typ)})"
 
 
+def _date_format_tpl(a: str, fmt: str | None) -> str:
+    """date_format(value, '%strftime') → Spark date_format with a Java
+    pattern; timestamps/int64-ms render at fixed UTC+8 (udf.cc:193-216).
+    The pattern must resolve to a string literal at translation time
+    (the reference also requires a constant format)."""
+    if fmt is None:
+        raise SqlUnsupported("date_format needs (value, format)")
+    m = re.fullmatch(r"'(.*)'|\"(.*)\"", fmt.strip(), re.DOTALL)
+    if not m:
+        raise SqlUnsupported(f"non-literal date_format pattern {fmt!r}")
+    lit = m.group(1) if m.group(1) is not None else m.group(2)
+    from openmldb_spark.functions.registry import strftime_to_java
+    try:
+        java = strftime_to_java(lit)
+    except ValueError as e:
+        raise SqlUnsupported(str(e))
+    return (f"(CASE WHEN ({a}) IS NULL THEN cast(NULL as string) "
+            f"ELSE date_format({_local_ts(a)}, "
+            f"'{java.replace(chr(39), chr(39) * 2)}') END)")
+
+
 def _like_tpl(op: str, s: str, pat: str, esc: str | None = None) -> str:
     """like_match/ilike_match (default_udf_library.cc:699-857): 2-arg and
     3-arg (escape char) forms; NULL pattern/escape → NULL result; the
@@ -325,7 +404,10 @@ def _like_tpl(op: str, s: str, pat: str, esc: str | None = None) -> str:
     if m:
         lit = m.group(1) if m.group(1) is not None else m.group(2)
         if lit == "":
-            return f"(({s}) {op} ({pat}))"
+            # '' disables escaping; Spark's LIKE defaults to backslash
+            # escape, so emit ESCAPE with an impossible control char
+            # (mirrors functions/registry._like_match's \x00 escape)
+            return f"(({s}) {op} ({pat}) ESCAPE '\x01')"
         return f"(({s}) {op} ({pat}) ESCAPE '{lit}')"
     if re.fullmatch(r"(?is)null|string\s*\(\s*null\s*\)|cast\s*\(\s*null.*",
                     e):
@@ -347,9 +429,11 @@ def translate_expr(text: str) -> str:
         return re.sub(r"\b(\d+)[lL]\b", r"CAST(\1 AS BIGINT)", seg)
 
     # `ESCAPE ''` disables escaping in OpenMLDB; Spark rejects the empty
-    # escape (pre-pass: the pattern spans a quoted literal, so it can't
-    # run inside op_fix's non-string segments)
-    text = re.sub(r"\bESCAPE\s+''", " ", text, flags=re.IGNORECASE)
+    # escape AND its plain LIKE still backslash-escapes, so rewrite to an
+    # impossible control char (pre-pass: the pattern spans a quoted
+    # literal, so it can't run inside op_fix's non-string segments)
+    text = re.sub(r"\bESCAPE\s+''", " ESCAPE '\x01' ", text,
+                  flags=re.IGNORECASE)
 
     out, buf, i, n = [], [], 0, len(text)
     while i < n:
@@ -484,8 +568,7 @@ def _parse_agg_call(fn: str, argtxt: str, aux: dict | None = None) -> dict:
     input before the kernel runs — the reference compiles these argument
     expressions into the same row-projection stage."""
     fn = fn.lower()
-    if fn == "fz_topn_frequency":
-        fn = "top_n_frequency"
+    fn = _AGG_ALIASES.get(fn, fn)
     args = [a.strip() for a in split_projection(argtxt)] if argtxt.strip() \
         else []
     if fn not in KERNEL_AGG_FUNCS:
@@ -527,6 +610,12 @@ def _parse_agg_call(fn: str, argtxt: str, aux: dict | None = None) -> dict:
     elif len(args) > 1:
         raise SqlUnsupported(f"aggregate arguments {fn}({argtxt})")
     return kw
+
+
+# fz_* front-end spellings of kernel aggregates
+# (FeatureZero UDF registrations, hybridse feature_zero_def.cc)
+_AGG_ALIASES = {"fz_topn_frequency": "top_n_frequency",
+                "fz_top1_ratio": "top1_ratio"}
 
 
 class _AggAlloc:
@@ -591,7 +680,7 @@ def _extract_window_aggs(item: str, alloc: _AggAlloc) -> str:
         wname = om.group(1)
         argtxt = item[k + 1:p]
         lname = name.lower()
-        if lname in KERNEL_AGG_FUNCS or lname == "fz_topn_frequency":
+        if lname in KERNEL_AGG_FUNCS or lname in _AGG_ALIASES:
             out.append(alloc.get(
                 wname, _parse_agg_call(lname, argtxt, alloc.aux)))
         else:
@@ -605,7 +694,7 @@ def _bind_nested_aggs(text: str, wname: str, alloc: _AggAlloc) -> str:
     """Bind bare kernel-agg calls inside `text` to window `wname`."""
 
     def handler(n, args):
-        if n in KERNEL_AGG_FUNCS or n == "fz_topn_frequency":
+        if n in KERNEL_AGG_FUNCS or n in _AGG_ALIASES:
             return alloc.get(
                 wname, _parse_agg_call(n, ", ".join(args), alloc.aux))
         return None
@@ -669,7 +758,17 @@ def compile_window_sql(sql: str) -> WindowQuery:
                            flags=re.IGNORECASE)
         body = body.strip()
         if re.fullmatch(r"__e\d+", body):
-            # single aggregate: emit directly under its user alias
+            # single aggregate: emit directly under its user alias —
+            # UNLESS an earlier expression projection already references
+            # the shared placeholder (``sum(c4) over w1 + 1 as x,
+            # sum(c4) over w1 as y``): renaming then would leave the
+            # earlier F.expr text pointing at a dropped column
+            used_earlier = any(p[0] == "expr"
+                               and re.search(rf"\b{body}\b", p[1])
+                               for p in q.projection)
+            if used_earlier:
+                q.projection.append(("expr", body, alias))
+                continue
             key = next(kk for kk, v in alloc.seen.items() if v == body)
             wname = key[0]
             # re-alias the registered Agg to the user-facing name
@@ -727,7 +826,7 @@ def _inline_subselects(spark, sql: str, tables: list) -> tuple[str, list]:
     positional table computed via selectExpr (covers sub-selects in FROM
     and in WINDOW UNION lists — WINDOW_CLAUSE.md:175-217)."""
     while True:
-        m = re.search(r"\(\s*select\b", sql, re.IGNORECASE)
+        m = re.search(r"\(\s*select\b", _mask_strings(sql), re.IGNORECASE)
         if not m:
             return sql, tables
         start = m.start()
@@ -742,9 +841,12 @@ def _run_simple_select(spark, sql: str, tables: list):
     """``select <exprs> from {i}`` (no WHERE/GROUP/...) → selectExpr."""
     m = re.fullmatch(r"\s*select\s+(?P<proj>.*?)\s+from\s+\{(?P<i>\d+)\}\s*",
                      sql, re.IGNORECASE | re.DOTALL)
-    if not m:
-        # full sub-query (WHERE etc.): delegate to the plain-SQL path
-        return _run_plain_sql(spark, sql, tables)
+    if not m or re.search(r"\bOVER\b", _mask_strings(m.group("proj")),
+                          re.IGNORECASE):
+        # full sub-query (WHERE / WINDOW / LAST JOIN ...): recurse
+        # through the dispatcher — production scripts nest whole
+        # windowed statements as LAST JOIN operands
+        return _dispatch_sql(spark, sql, tables)
     df = tables[int(m.group("i"))]
     items = [translate_expr(_strip_t(p)) for p in
              split_projection(m.group("proj"))]
@@ -802,6 +904,7 @@ def run_sql(spark, sql: str, tables, params=None):
     SQL over temp views."""
     if params is not None:
         sql = bind_params(sql, list(params))
+    sql = _strip_backticks(sql)
     sql, tables = canonicalize_tables(sql, tables)
     try:
         return _dispatch_sql(spark, sql, tables)
@@ -838,12 +941,23 @@ def _ms_tables(tables: list) -> list:
 
 
 def _dispatch_sql(spark, sql: str, tables):
-    has_lj = bool(re.search(r"last\s+join", sql, re.IGNORECASE))
-    has_win = bool(re.search(r"\bWINDOW\b|\bOVER\b", sql, re.IGNORECASE))
+    # sniff on a string-masked copy: a literal containing "over"/"last
+    # join" must not steer dispatch
+    masked = _mask_strings(sql)
+    has_lj = bool(re.search(r"last\s+join", masked, re.IGNORECASE))
+    has_win = bool(re.search(r"\bWINDOW\b|\bOVER\b", masked, re.IGNORECASE))
     if not has_lj and not has_win:
         return _run_plain_sql(spark, sql, tables)
 
     sql, tables = _inline_subselects(spark, sql, tables)
+    # re-sniff: the window/join tokens may all have lived inside the
+    # now-inlined sub-selects (production scripts join three windowed
+    # sub-selects with LAST JOIN — cases/function/spark/test_jd.yaml)
+    masked = _mask_strings(sql)
+    has_lj = bool(re.search(r"last\s+join", masked, re.IGNORECASE))
+    has_win = bool(re.search(r"\bWINDOW\b|\bOVER\b", masked, re.IGNORECASE))
+    if not has_lj and not has_win:
+        return _run_plain_sql(spark, sql, tables)
     limit = None
     lm = re.search(r"\blimit\s+(\d+)\s*;?\s*$", sql, re.IGNORECASE)
     if lm:
@@ -867,10 +981,12 @@ def _run_plain_sql(spark, sql: str, tables: list):
     (reference semantics: GroupByAggregationPlan.scala:38-170)."""
     for i, df in enumerate(tables):
         df.createOrReplaceTempView(f"__sql_t{i}")
-    sql = re.sub(r"\{(\d+)\}", r"__sql_t\1", sql)
+    sql = _sub_outside_strings(r"\{(\d+)\}", r"__sql_t\1", sql)
     # OpenMLDB's parser tolerates a trailing comma in the select list
-    # (cases/query/udf_query.yaml udf_replace); Spark's does not
-    sql = re.sub(r",\s*(FROM\b)", r" \1", sql, flags=re.IGNORECASE)
+    # (cases/query/udf_query.yaml udf_replace); Spark's does not.
+    # Quote-aware: a string literal containing ", from" must survive.
+    sql = _sub_outside_strings(r",\s*(FROM\b)", r" \1", sql,
+                               flags=re.IGNORECASE)
     # LIMIT 0 = unlimited in OpenMLDB (GetLimitCnt()==0 means unset)
     sql = re.sub(r"\blimit\s+0\s*;?\s*$", ";", sql, flags=re.IGNORECASE)
     return spark.sql(translate_expr(sql))
@@ -994,6 +1110,31 @@ def _run_lastjoin_sql(sql: str, tables: list, limit: int | None = None):
     if wm and re.search(r"\bon\b", sql[:wm.start()], re.IGNORECASE):
         where_txt = wm.group("w")
         sql = sql[:wm.start()] + " ;"
+    # canonical renumbering: the head table becomes {0} and join targets
+    # {1..k} in join order — production scripts join inlined sub-select
+    # tables whose positional indexes are arbitrary ({9} LAST JOIN {10})
+    hm = re.search(r"\bfrom\s+\{(\d+)\}", sql, re.IGNORECASE)
+    if hm:
+        ordered = [int(hm.group(1))] + [
+            int(x) for x in re.findall(r"last\s+join\s+\{(\d+)\}", sql,
+                                       re.IGNORECASE)]
+        if ordered != list(range(len(ordered))) \
+                and len(set(ordered)) == len(ordered):
+            mapping = {old: new for new, old in enumerate(ordered)}
+            sql = re.sub(
+                r"\{(\d+)\}",
+                lambda mm: (f"{{{mapping[int(mm.group(1))]}}}"
+                            if int(mm.group(1)) in mapping
+                            else mm.group(0)),
+                sql)
+            if where_txt:
+                where_txt = re.sub(
+                    r"\{(\d+)\}",
+                    lambda mm: (f"{{{mapping[int(mm.group(1))]}}}"
+                                if int(mm.group(1)) in mapping
+                                else mm.group(0)),
+                    where_txt)
+            tables = [tables[o] for o in ordered]
     stages = re.split(r"\blast\s+join\b", sql, flags=re.IGNORECASE)
     if len(stages) > 2:
         return _run_lastjoin_chain(sql, tables, stages, limit=limit,
@@ -1043,25 +1184,25 @@ def _one_last_join(left, right, order, cond_txt, rid=False,
     equi, residual = [], []
     for tok in _split_conds(cond_txt):
         tok = tok.strip()
-        em = re.fullmatch(r"\{0\}\.(\w+)\s*=\s*\{\d\}\.(\w+)", tok) or \
-            re.fullmatch(r"\{\d\}\.(?P<r>\w+)\s*=\s*\{0\}\.(?P<l>\w+)", tok)
+        em = re.fullmatch(r"\{0\}\.(\w+)\s*=\s*\{\d+\}\.(\w+)", tok) or \
+            re.fullmatch(r"\{\d+\}\.(?P<r>\w+)\s*=\s*\{0\}\.(?P<l>\w+)", tok)
         if em and em.groupdict().get("r"):
             equi.append((em.group("l"), em.group("r")))
             continue
         if em:
             equi.append((em.group(1), em.group(2)))
             continue
-        rm = re.fullmatch(r"\{(\d)\}\.(\w+)\s*(>=|<=|!=|=|>|<)\s*(.+)", tok)
+        rm = re.fullmatch(r"\{(\d+)\}\.(\w+)\s*(>=|<=|!=|=|>|<)\s*(.+)", tok)
         if rm:
             t, col, op, rhs = rm.groups()
             lhs = col if t == "0" else f"{rprefix}{col}"
             rhs = re.sub(r"\{0\}\.(\w+)", r"\1", rhs)
-            rhs = re.sub(r"\{\d\}\.(\w+)", rf"{rprefix}\1", rhs)
+            rhs = re.sub(r"\{\d+\}\.(\w+)", rf"{rprefix}\1", rhs)
             residual.append(f"{lhs} {op} {rhs}")
             continue
         # general residual (BETWEEN, IS NULL, function calls, ...)
         gen = re.sub(r"\{0\}\.(\w+)", r"\1", tok)
-        gen = re.sub(r"\{\d\}\.(\w+)", rf"{rprefix}\1", gen)
+        gen = re.sub(r"\{\d+\}\.(\w+)", rf"{rprefix}\1", gen)
         residual.append(f"({translate_expr(gen)})")
 
     # right key/order columns are aliased away by last_join: duplicate
@@ -1125,6 +1266,24 @@ def _project_lastjoin(out, proj_txt: str, prefixes: dict):
         if p and f"{p}{col}" in out.columns:
             return f"{p}{col}"
         return None
+
+    if proj_txt.strip() == "*":
+        # SELECT * over a LAST JOIN: every left column, then each joined
+        # table's columns in join order under their original names
+        # (production scripts: select * from (...) last join (...) ...)
+        sel = []
+        for c in out.columns:
+            if c == _RID or c.startswith("rk__") or c == "__k":
+                continue
+            base = c
+            for t, p in prefixes.items():
+                if p and c.startswith(p):
+                    base = c[len(p):]
+                    break
+            if base == "__k":
+                continue
+            sel.append(F.col(c).alias(base))
+        return out, sel
 
     sel = []
     for item in split_projection(proj_txt):

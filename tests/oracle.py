@@ -108,8 +108,25 @@ def oracle_agg(rows, i, spec, func, col, param=None, cond=None, cate=None):
         return max(nn) if nn else None
     if func == "distinct_count":
         # NULL folds into the type default (DistinctCountDef takes a
-        # non-nullable T): nulls count as one default-valued entry
-        return len({0 if v is None or (isinstance(v, float)
-                                       and math.isnan(v)) else v
+        # non-nullable T): nulls count as one default-valued entry.
+        # Pick the default by the column's logical type (mirrors the
+        # engine's per-dtype fillna): '' for strings, epoch-0 for
+        # timestamps, 0 otherwise — folding every type to int 0 would
+        # over-count a frame containing both NULL and '' by one.
+        import datetime as _dt
+        proto = next((v for v in vals if v is not None and not (
+            isinstance(v, float) and math.isnan(v))), None)
+        if isinstance(proto, str):
+            default = ""
+        elif isinstance(proto, _dt.datetime) or \
+                type(proto).__name__ == "Timestamp":
+            import pandas as _pd
+            default = _pd.Timestamp(0)
+        elif isinstance(proto, bool):
+            default = False
+        else:
+            default = 0
+        return len({default if v is None or (isinstance(v, float)
+                                             and math.isnan(v)) else v
                     for v in vals})
     raise ValueError(func)
