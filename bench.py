@@ -58,6 +58,9 @@ HEADLINE = [
     # path, vectorized multimodal decode
     "sql_group_having",
     "sql_window_expr",
+    # round 3: production-script shape (windowed sub-select LAST JOINed
+    # to a LAST JOIN chain) end-to-end through the SQL front end
+    "sql_prod_pipeline",
     "embedding_near_dups_lsh",
     "multimodal_features",
 ]

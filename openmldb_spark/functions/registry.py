@@ -132,20 +132,36 @@ def _nvl2(x, a, b) -> Column:
 
 
 def _fz_split(s, delim) -> Column:
-    """fz_split (feature_zero_def.cc:555-605): string → list by delimiter;
-    empty string → empty list, null → null."""
-    return F.split(_col(s), delim)
+    """fz_split (feature_zero_def.cc:181-226): string → list by
+    delimiter; NULL input or empty delimiter → EMPTY list."""
+    if not delim:
+        return F.array()
+    return F.when(_col(s).isNull(), F.array()) \
+            .otherwise(F.split(_col(s), delim))
+
+
+def _fz_kv_entries(s, delim1: str, kv_delim: str) -> Column:
+    """Entries of the split that contain the kv delimiter — the others
+    contribute neither key nor value (feature_zero_def.cc:227-330)."""
+    return F.filter(_fz_split(s, delim1),
+                    lambda x: F.locate(kv_delim, x) > 0)
 
 
 def fz_split_by_key(s, delim1: str, kv_delim: str) -> Column:
-    """fz_split_by_key: 'k1:v1,k2:v2' → [k1, k2]."""
-    m = F.str_to_map(_col(s), F.lit(delim1), F.lit(kv_delim))
-    return F.map_keys(m)
+    """fz_split_by_key: 'k1:v1,???,k2:v2' → [k1, k2]."""
+    if not kv_delim:
+        return F.array()
+    return F.transform(_fz_kv_entries(s, delim1, kv_delim),
+                       lambda x: F.substring_index(x, kv_delim, 1))
 
 
 def fz_split_by_value(s, delim1: str, kv_delim: str) -> Column:
-    m = F.str_to_map(_col(s), F.lit(delim1), F.lit(kv_delim))
-    return F.map_values(m)
+    """fz_split_by_value: the segment between the 1st and 2nd kv
+    delimiter of each kv entry ('k1:v1:w,???' → [v1])."""
+    if not kv_delim:
+        return F.array()
+    return F.transform(_fz_kv_entries(s, delim1, kv_delim),
+                       lambda x: F.element_at(F.split(x, kv_delim), 2))
 
 
 def fz_join(arr, delim: str) -> Column:

@@ -47,6 +47,20 @@ def last_join(
     right_on = list(spec.right_on or spec.left_on)
     right_cols = right_cols or [c for c in right.columns if c not in right_on]
 
+    if spec.order_by:
+        # the reference rejects float/double/date/smallint LAST JOIN
+        # order keys (test_lastjoin_simple.yaml ids 7-9, 28); int32,
+        # int64 and timestamp are the sortable key domain
+        import pyspark.sql.types as T
+        odt = right.schema[spec.order_by].dataType
+        if isinstance(odt, (T.FloatType, T.DoubleType, T.DateType,
+                            T.StringType, T.BooleanType, T.ShortType,
+                            T.ByteType)):
+            raise ValueError(
+                f"last_join: ORDER BY {spec.order_by!r} has type "
+                f"{odt.simpleString()}; the reference requires an "
+                f"int/bigint/timestamp order key")
+
     l = left.withColumn(_RID, F.monotonically_increasing_id())
     r = right.select(
         *[F.col(c).alias(f"__r_{c}") for c in right_on],

@@ -70,6 +70,12 @@ def _agg_field(agg: Agg, in_field: T.StructField | None) -> T.StructField:
         return T.StructField(agg.alias, T.LongType())
     if f in ("avg", "avg_where", "top1_ratio"):
         return T.StructField(agg.alias, T.DoubleType())
+    if f.startswith("window_split") and agg.param in ("count",
+                                                      "distinct_count"):
+        # count/distinct_count over the split-parts stream
+        return T.StructField(agg.alias, T.LongType())
+    if f.startswith("window_split") and agg.param == "top1_ratio":
+        return T.StructField(agg.alias, T.DoubleType())
     if f in ("top", "top_n_frequency") or "_cate" in f \
             or f.startswith("window_split"):
         return T.StructField(agg.alias, T.StringType())
@@ -158,6 +164,57 @@ def _pandas_dtype(dt: T.DataType):
     return None
 
 
+_NUMERIC_TYPES = (*_INT_TYPES, T.FloatType, T.DoubleType)
+
+
+def _check_agg_domains(aggs: list[Agg], schema_fields: dict) -> None:
+    """Reject UDAF argument types the reference's type checker rejects
+    (cases/function/function/test_udaf_function.yaml ids 8-12, 18-19,
+    25-26, 32-33, 39-40): avg needs a numeric input (avg over
+    timestamp/date/string fails); sum additionally accepts timestamp
+    (int64 ms); every *_where / *_cate value must be numeric; category
+    keys must not be float/double/bool. Silently coercing would return
+    answers the reference never produces for these statements."""
+    def dt(col):
+        f = schema_fields.get(col)
+        return f.dataType if f is not None else None
+
+    for a in aggs:
+        vt = dt(a.col)
+        if vt is None:
+            continue
+        fn = a.func
+        if fn == "avg" and not isinstance(vt, _NUMERIC_TYPES):
+            raise ValueError(f"avg over {vt.simpleString()} column "
+                             f"{a.col!r} (reference rejects)")
+        if fn == "sum" and not isinstance(
+                vt, (*_NUMERIC_TYPES, T.TimestampType)):
+            raise ValueError(f"sum over {vt.simpleString()} column "
+                             f"{a.col!r} (reference rejects)")
+        if (fn.endswith("_where") or fn.endswith("_cate")
+                or "_cate_where" in fn) and fn != "count_where" \
+                and not fn.startswith("count_cate"):
+            if not isinstance(vt, _NUMERIC_TYPES):
+                raise ValueError(
+                    f"{fn} over {vt.simpleString()} column {a.col!r} "
+                    f"(reference rejects non-numeric values)")
+        if fn == "count_where" and isinstance(vt, T.BooleanType):
+            raise ValueError("count_where over a bool column "
+                             "(reference rejects)")
+        if fn.startswith("count_cate") and not isinstance(
+                vt, _NUMERIC_TYPES):
+            raise ValueError(
+                f"{fn} over {vt.simpleString()} column {a.col!r} "
+                f"(reference rejects non-numeric values)")
+        if a.cate:
+            kt = dt(a.cate)
+            if isinstance(kt, (T.FloatType, T.DoubleType, T.BooleanType)):
+                raise ValueError(
+                    f"{fn} category key {a.cate!r} has type "
+                    f"{kt.simpleString()} (reference rejects "
+                    f"float/double/bool keys)")
+
+
 def window_agg(
     df: DataFrame,
     spec: WindowSpec,
@@ -185,6 +242,25 @@ def window_agg(
             f"window_agg: column(s) {sorted(set(missing))} not in input "
             f"columns {sorted(have)}")
 
+    # order-key type rule (mirrors the reference's analysis checks):
+    # ROWS frames require BIGINT/TIMESTAMP (int32/smallint/bool rejected
+    # — test_window_row.yaml ids 33-35); ROWS_RANGE additionally accepts
+    # the narrower integer widths (ids 8-2/8-4 are value-checked offline
+    # with an int32 order key) but still rejects string/float/double/
+    # date/bool (test_window_row_range.yaml ids 7/9/10, error_window.yaml
+    # ids 4-7). Silently casting a double to long would truncate the
+    # order relation, so fail loudly instead.
+    odt = df.schema[spec.order_by].dataType
+    allowed: tuple = (T.LongType, T.TimestampType, T.TimestampNTZType)
+    if spec.frame != "rows":
+        allowed = (*_INT_TYPES, T.TimestampType, T.TimestampNTZType)
+    if not isinstance(odt, allowed):
+        raise ValueError(
+            f"window_agg: ORDER BY {spec.order_by!r} has type "
+            f"{odt.simpleString()}; the reference requires "
+            f"{'BIGINT or TIMESTAMP' if spec.frame == 'rows' else 'an integer or TIMESTAMP'} "
+            f"window order key")
+
     if tier == "auto":
         tier = "builtin" if _builtin_ok(spec, aggs, union) else "kernel"
     if tier == "builtin":
@@ -198,6 +274,7 @@ def window_agg(
     # hand the kernel nanoseconds (sum/avg over ts, last_join_window
     # corpus case 2)
     schema_fields = {f.name: f for f in df.schema.fields}
+    _check_agg_domains(aggs, schema_fields)
     aggs = [_fill_agg_types(a, schema_fields) for a in aggs]
     df, aggs, ts_cols = _ms_view_for_ts_aggs(df, aggs, schema_fields)
     if ts_cols and union:
@@ -220,14 +297,18 @@ def window_agg(
         df.select(*needed_cols)
         .withColumn(ORD, _order_col(df, spec.order_by))
         .withColumn(PRIMARY, F.lit(1).cast("int"))
+        .withColumn(wk.UPOS, F.lit(0).cast("int"))
     )
     prim_types = {f.name: f.dataType for f in df.schema.fields}
-    for u in union or []:
+    for ui, u in enumerate(union or []):
         upart = (
             u.select(*[_coerce_union_col(u, c, prim_types[c])
                        for c in needed_cols if c in u.columns])
             .withColumn(ORD, _order_col(u, spec.order_by))
             .withColumn(PRIMARY, F.lit(0).cast("int"))
+            # equal-ts ties: later-listed union tables sort older
+            # (test_window_union.yaml id 19)
+            .withColumn(wk.UPOS, F.lit(-(ui + 1)).cast("int"))
         )
         work = work.unionByName(upart, allowMissingColumns=True)
 

@@ -46,6 +46,7 @@ from openmldb_spark.plans.specs import Agg, WindowSpec
 ORD = "__ord"          # int64 order key (ms for range frames)
 PRIMARY = "__primary"  # 1 = row of the primary (emitting) table
 EXPANDED = "__expanded"  # 1 = skew-replica row: buffers, never emits
+UPOS = "__upos"        # 0 = primary, -(i+1) = i-th WINDOW UNION table
 
 
 def _searchsorted(a: np.ndarray, v: np.ndarray, side: str) -> np.ndarray:
@@ -84,7 +85,11 @@ def compute_frame_bounds(
     else:
         extra = np.zeros(len(tsE), dtype=bool)
         if spec.frame == "rows":
-            hi = np.maximum(PE + selfE - rows_end_eff, 0)
+            # offsets count back from the VIRTUAL anchor position PE —
+            # also when the anchor itself is not buffered
+            # (INSTANCE_NOT_IN_WINDOW): `1 PRECEDING` is then the newest
+            # buffered row (test_window_union.yaml id 19-2)
+            hi = np.maximum(PE + 1 - rows_end_eff, 0)
         else:
             side = "left" if spec.end_open else "right"
             hi = _searchsorted(ts_e, tsE - end_delta, side)
@@ -333,6 +338,10 @@ def _split_parts(s: str, f: str, delim: str, kv_delim: str | None) -> list:
     by_key/by_value variants keep only parts containing the kv delim."""
     import re as _re
 
+    if not delim:
+        # empty delimiter → no parts at all (UpdateSplit* returns the
+        # state untouched — test_feature_zero_function.yaml id 5)
+        return []
     if len(delim) == 1:
         parts = s.split(delim)
     else:
@@ -341,7 +350,7 @@ def _split_parts(s: str, f: str, delim: str, kv_delim: str | None) -> list:
         return parts
     out = []
     for p in parts:
-        if kv_delim is None:
+        if kv_delim is None or kv_delim == "":
             continue
         if len(kv_delim) == 1:
             i = p.find(kv_delim)
@@ -355,7 +364,11 @@ def _split_parts(s: str, f: str, delim: str, kv_delim: str | None) -> list:
 
 
 def window_split_strings(pdf, col, f, delim, kv_delim, sep,
-                         idx_e, lo, hi, E, anchored) -> list:
+                         idx_e, lo, hi, E, anchored, mode=None) -> list:
+    """mode None → fz_join of the frame's split parts (newest first);
+    mode 'count' / 'distinct_count' → count(fz_window_split*(..)) /
+    distinct_count(..) over the same parts stream
+    (test_feature_zero_function.yaml ids 1-4)."""
     raw = pdf[col].to_numpy(object)
     # pre-split each eligible row once
     cache: dict[int, list] = {}
@@ -376,14 +389,52 @@ def window_split_strings(pdf, col, f, delim, kv_delim, sep,
             acc.extend(parts_of(E[j]))
         for pos in idx_e[lo[j]:hi[j]][::-1]:
             acc.extend(parts_of(pos))
-        res.append(sep.join(acc))
+        if mode == "count":
+            res.append(len(acc))
+        elif mode == "distinct_count":
+            res.append(len(set(acc)))
+        elif mode == "top1_ratio":
+            # FZTop1Ratio::Output: empty map → 0.0
+            if not acc:
+                res.append(0.0)
+            else:
+                from collections import Counter
+                res.append(max(Counter(acc).values()) / len(acc))
+        elif mode and str(mode).startswith("top_n_frequency:"):
+            from collections import Counter
+            k = int(str(mode).split(":", 1)[1])
+            if not acc:
+                # zero parts → Update never ran → top_n_ stays 0 →
+                # empty output, NOT NULL-padding (FZTopNFrequency;
+                # test_feature_zero_function.yaml id 4 row 4)
+                res.append("")
+                continue
+            top = sorted(Counter(acc).items(),
+                         key=lambda kv: (-kv[1], kv[0]))[:k]
+            keys = [kk for kk, _ in top] + ["NULL"] * (k - len(top))
+            res.append(",".join(keys))
+        else:
+            res.append(sep.join(acc))
     return res
 
 
 def ordered_min_max(pdf, col, cond, f, idx_e, lo, hi, E, anchored) -> list:
-    """min/max over orderable non-numeric columns (strings, ISO dates):
-    factorize to sorted ordinals, run the numeric range-min/max, map back."""
-    codes, uniq = _factorize_sorted(pdf[col])
+    """min/max over orderable non-numeric columns (strings, dates):
+    factorize to sorted ordinals, run the numeric range-min/max, map back
+    to the ORIGINAL values (not the csv-formatted strings — min over a
+    DateType column must return datetime.date for the declared output
+    schema). str() sort order == native order for both strings and ISO
+    dates."""
+    raw_codes, uniques = pd.factorize(pdf[col].to_numpy(object))
+    if len(uniques):
+        order = np.argsort(np.array([str(u) for u in uniques],
+                                    dtype=object), kind="stable")
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        codes = np.where(raw_codes >= 0, inv[np.maximum(raw_codes, 0)], -1)
+        uniq = np.asarray(uniques, dtype=object)[order]
+    else:
+        codes, uniq = raw_codes, np.array([], dtype=object)
     x = codes.astype(np.float64)
     x[codes < 0] = np.nan
     if cond is not None:
@@ -458,7 +509,13 @@ def group_window_features(
     agg references. Returns emit rows (primary & not expanded) with
     keep_cols + one column per agg alias.
     """
-    sort_cols = [ORD, PRIMARY, *spec.tiebreak]
+    # equal-ts tie order: union rows sort below the primary, and
+    # later-listed union tables sort OLDER — "the order for rows in
+    # union tables with same ts is explicitly as the order in SQL"
+    # (test_window_union.yaml id 19). UPOS carries 0 for the primary and
+    # -(i+1) for the i-th union table; absent = single-source input.
+    sort_cols = [ORD, *([UPOS] if UPOS in pdf.columns else []),
+                 PRIMARY, *spec.tiebreak]
     pdf = pdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
     n = len(pdf)
     ts = pdf[ORD].to_numpy(np.int64, copy=False)
@@ -584,26 +641,60 @@ def group_window_features(
             vals = np.where(ok, op(vals, np.where(np.isnan(sv), fill, sv)), vals)
             vals = np.where(np.isinf(vals), np.nan, vals)
             out[alias] = vals
-        elif f in ("lag", "at", "first_value"):
-            k = 0 if f == "first_value" else int(agg.param or 0)
+        elif f == "first_value":
+            # first_value = newest FRAME row (frame-bound, end-bound
+            # exclusions apply — github.com/4paradigm/OpenMLDB#1587,
+            # test_window.yaml id 33)
             raw = pdf[col].to_numpy()
             at_current = spec.end_delta == 0 and not spec.end_open
             res = pd.Series([None] * len(E), dtype=object)
             if at_current:
-                # position 0 = the anchor row itself
-                if k == 0:
-                    res[:] = raw[E]
-                else:
-                    # anchor occupies position 0: k≥1 → slice index
-                    # hi-k (anchored) or hi-1-k+1 = hi-k ... self sits at
-                    # hi-1 when in-slice, so k steps back = hi-1-k+... :
-                    pos = hi - k - 1 + anchored.astype(np.int64)
-                    valid = (pos >= lo) & (pos < hi)
-                    res[valid] = raw[idx_e[pos[valid]]]
+                res[:] = raw[E]
             else:
-                pos = hi - 1 - k
+                pos = hi - 1
                 valid = (pos >= lo) & (pos < hi)
                 res[valid] = raw[idx_e[pos[valid]]]
+            out[alias] = res
+        elif f in ("lag", "at"):
+            # lag/at(k): k-th row back from the CURRENT row's position in
+            # the partition-ordered buffer, bounded by the partition
+            # start and MAXSIZE ONLY. The declared frame does NOT bound
+            # it: the reference's planner merges each lag offset into the
+            # buffered frame (node_manager.cc MergeFrameNode →
+            # kFrameRowsMergeRowsRange) and at() reads the raw buffer
+            # (window_functions_def.cc AtList), so lag(3) over `rows
+            # between 2 preceding and 1 preceding` still returns the 3rd
+            # row back (test_udaf_function.yaml ids 57-60, issue #1554).
+            # End-bound exclusions don't shift the anchor either
+            # (test_window.yaml ids 36-37; test_window_union.yaml id 19
+            # pins the virtual anchor through INSTANCE_NOT_IN_WINDOW).
+            k = int(agg.param or 0)
+            raw = pdf[col].to_numpy()
+            res = pd.Series([None] * len(E), dtype=object)
+            if k == 0:
+                # lag(0) = the current row itself, always (also under
+                # INW / EXCLUDE CURRENT_TIME, where it is not buffered)
+                res[:] = raw[E]
+                out[alias] = res
+                continue
+            if spec.exclude_current_time:
+                # same-ts rows sit in the current-history buffer, not
+                # the effective window (HistoryWindow::
+                # BufferCurrentTimeBuffer) — lag(k>=1) counts back from
+                # the first row with ts strictly below the anchor's
+                # (test_window_union.yaml ids 18-4/18-5)
+                anchor = _searchsorted(ts_e, tsE, "left")
+                buf_end = anchor + 1          # + the current row
+            else:
+                anchor = PE
+                buf_end = PE + selfE
+            pos = anchor - k
+            if spec.max_size and spec.max_size > 0:
+                buf_lo = np.maximum(buf_end - spec.max_size, 0)
+            else:
+                buf_lo = 0
+            valid = (pos >= 0) & (pos >= buf_lo) & (pos < buf_end)
+            res[valid] = raw[idx_e[pos[valid]]]
             out[alias] = res
         elif f in ("distinct_count", "top_n_frequency", "top1_ratio"):
             # One-hot prefix-sum over factorized categories: counts for all
@@ -632,9 +723,12 @@ def group_window_features(
             if f == "distinct_count":
                 out[alias] = (counts > 0).sum(axis=1).astype(np.float64)
             elif f == "top1_ratio":
+                # empty/all-null frame → 0.0, not NULL
+                # (FZTop1Ratio::Output, feature_zero_def.cc:418-421;
+                # test_feature_zero_function.yaml id 3 row 4)
                 tot = counts.sum(axis=1)
                 out[alias] = np.where(
-                    tot > 0, counts.max(axis=1) / np.maximum(tot, 1), np.nan
+                    tot > 0, counts.max(axis=1) / np.maximum(tot, 1), 0.0
                 )
             else:
                 k = int(agg.param or 1)
@@ -663,8 +757,10 @@ def group_window_features(
             # :181-280): per frame row (newest first — the HistoryWindow
             # iterator order), split and append parts; emit joined string.
             out[alias] = window_split_strings(
-                pdf, col, f, agg.delim or ",", agg.kv_delim, agg.sep,
-                idx_e, lo, hi, E, anchored)
+                pdf, col, f,
+                "," if agg.delim is None else agg.delim,
+                agg.kv_delim, agg.sep,
+                idx_e, lo, hi, E, anchored, mode=agg.param)
         elif f.endswith("_cate") or f.endswith("_cate_where"):
             base = f.split("_cate")[0].replace("top_n_key_", "")
             cond = agg.cond if f.endswith("_where") else None

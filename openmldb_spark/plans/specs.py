@@ -70,7 +70,9 @@ class Agg:
     func: str
     col: str
     alias: str
-    param: int | None = None
+    # int k for lag/at/top/top_n_frequency; for window_split* it carries
+    # the composite mode: None = fz_join csv, "count"/"distinct_count"
+    param: int | str | None = None
     cond: str | None = None
     cate: str | None = None
     delim: str | None = None      # window_split*: row delimiter

@@ -1280,6 +1280,66 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY ts_ms
 """)
 
 
+def q_sql_prod_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-script shape through run_sql (the round-3 front-end
+    surface): a windowed sub-select LAST JOINed to a multi-table LAST
+    JOIN chain sub-select, with fz_* UDAFs and backticked identifiers —
+    the statement form of cases/function/spark/test_jd.yaml id 1."""
+    from openmldb_spark.sqlfe import run_sql
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sql = """
+    select out0.eid as eid, out0.user_id as user_id,
+           out0.sum_v as sum_v, out0.n_types as n_types,
+           out0.top1r as top1r,
+           out1.cust_name as cust_name, out1.nat_name as nat_name
+    from
+    (select `event_id` as eid, `user_id`,
+            round(sum(`value`) over w, 3) as sum_v,
+            distinct_count(`event_type`) over w as n_types,
+            fz_top1_ratio(`event_type`) over w as top1r
+     from `events`
+     window w as (partition by `user_id` order by `ts`
+                  rows_range between 1h preceding and current row)) as out0
+    last join
+    (select `events`.`event_id` as eid2, c.`c_name` as cust_name,
+            n.`n_name` as nat_name
+     from `events`
+     last join `customer` as c on `events`.`user_id` = c.`c_custkey`
+     last join `nation` as n on c.`c_nationkey` = n.`n_nationkey`) as out1
+    on out0.eid = out1.eid2;
+    """
+    return run_sql(spark, sql,
+                   {"events": ev, "customer": cust, "nation": nat})
+
+
+SQL_SQL_PROD_PIPELINE = """
+WITH fr AS (
+  SELECT t.event_id AS eid, t.user_id AS user_id,
+         h.event_type AS event_type, h.value AS value
+  FROM events t JOIN events h
+    ON h.user_id = t.user_id
+   AND h.ts <= t.ts AND h.ts >= t.ts - INTERVAL 1 HOUR
+),
+agg AS (
+  SELECT eid, user_id, ROUND(SUM(value), 3) AS sum_v,
+         COUNT(DISTINCT event_type) AS n_types, COUNT(*) AS total
+  FROM fr GROUP BY 1, 2
+),
+tc AS (
+  SELECT eid, event_type, COUNT(*) AS cnt FROM fr GROUP BY 1, 2
+),
+top1 AS (SELECT eid, MAX(cnt) AS maxc FROM tc GROUP BY 1)
+SELECT a.eid, a.user_id, a.sum_v, a.n_types,
+       CAST(t1.maxc AS DOUBLE) / a.total AS top1r,
+       c.c_name AS cust_name, n.n_name AS nat_name
+FROM agg a JOIN top1 t1 USING (eid)
+LEFT JOIN customer c ON a.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1313,6 +1373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "const_project": q_const_project,
     "sql_group_having": q_sql_group_having,
     "sql_window_expr": q_sql_window_expr,
+    "sql_prod_pipeline": q_sql_prod_pipeline,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1356,6 +1417,7 @@ ORACLES: dict[str, str] = {
     "const_project": SQL_CONST_PROJECT,
     "sql_group_having": SQL_SQL_GROUP_HAVING,
     "sql_window_expr": SQL_SQL_WINDOW_EXPR,
+    "sql_prod_pipeline": SQL_SQL_PROD_PIPELINE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,

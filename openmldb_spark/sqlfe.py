@@ -287,10 +287,21 @@ _SQL_FN: dict = {
     # hybridse default_udf_library.cc:669-697); Spark's are Java time
     # patterns — rewrite the literal pattern (registry.strftime_to_java)
     "date_format": lambda a, b=None: _date_format_tpl(a, b),
-    "fz_split": lambda a, b: f"split({a}, {b})",
-    "fz_split_by_key": lambda a, b, c: f"map_keys(str_to_map({a}, {b}, {c}))",
+    # FZStringOpsDef split rules (feature_zero_def.cc:181-330): NULL
+    # input or empty delimiter → EMPTY list (not null); by_key/by_value
+    # keep only entries containing the kv delimiter (entry "???" in
+    # "???,,k4:v4" contributes no key — test_feature_zero_function.yaml
+    # id 2); value = the segment between the 1st and 2nd kv delimiter
+    "fz_split": lambda a, b:
+        f"IF(({a}) IS NULL OR ({b}) = '', array(), split({a}, {b}))",
+    "fz_split_by_key": lambda a, b, c:
+        f"transform(filter(IF(({a}) IS NULL OR ({b}) = '' OR ({c}) = '', "
+        f"array(), split({a}, {b})), x -> locate({c}, x) > 0), "
+        f"x -> substring_index(x, {c}, 1))",
     "fz_split_by_value": lambda a, b, c:
-        f"map_values(str_to_map({a}, {b}, {c}))",
+        f"transform(filter(IF(({a}) IS NULL OR ({b}) = '' OR ({c}) = '', "
+        f"array(), split({a}, {b})), x -> locate({c}, x) > 0), "
+        f"x -> element_at(split(x, {c}), 2))",
     "fz_join": lambda a, b: f"array_join({a}, {b})",
     # OpenMLDB pins string/date <-> timestamp conversion to UTC+8
     # (constexpr TZ = 8, hybridse/src/udf/udf.cc:54,707-760) and integer
@@ -424,9 +435,25 @@ def translate_expr(text: str) -> str:
         seg = seg.replace("||", " OR ").replace("&&", " AND ")
         seg = re.sub(r"\bXOR\b", "!=", seg, flags=re.IGNORECASE)
         seg = re.sub(r"\bMOD\b(?!\s*\()", " % ", seg, flags=re.IGNORECASE)
+        # bare decimal literals are DOUBLE in OpenMLDB (hybridse
+        # DoubleLiteral; `0.0 as col4` types double —
+        # query/window_with_union_query.yaml id 2 schema-checks it),
+        # while Spark parses them as DECIMAL(p,s). Runs before the
+        # f-suffix rule: the (?![\w.]) lookahead leaves `0.0f` alone.
+        seg = re.sub(r"(?<![\w.])(\d+\.\d*|\.\d+)(?![\w.])",
+                     r"CAST(\1 AS DOUBLE)", seg)
         # OpenMLDB typed numeric literals: 0.0f / 10l
         seg = re.sub(r"\b(\d+\.\d*|\d+)[fF]\b", r"CAST(\1 AS FLOAT)", seg)
-        return re.sub(r"\b(\d+)[lL]\b", r"CAST(\1 AS BIGINT)", seg)
+        seg = re.sub(r"\b(\d+)[lL]\b", r"CAST(\1 AS BIGINT)", seg)
+        # interval literals (1s/2m/3h/4d) are frame-bound-only in
+        # OpenMLDB — in an expression the reference rejects them
+        # (fail_query.yaml "un-support const node"), while Spark would
+        # silently parse 1s as a SMALLINT literal: reject here
+        im = re.search(r"\b\d+[smhd]\b", seg, re.IGNORECASE)
+        if im:
+            raise SqlUnsupported(
+                f"interval literal {im.group(0)!r} outside a window frame")
+        return seg
 
     # `ESCAPE ''` disables escaping in OpenMLDB; Spark rejects the empty
     # escape AND its plain LIKE still backslash-escapes, so rewrite to an
@@ -470,6 +497,11 @@ def _parse_bound(txt: str, frame: str):
     if v.upper() == "UNBOUNDED":
         return (10**15, False)
     if frame == "rows":
+        if not re.fullmatch(r"-?\d+", v):
+            # time-unit bounds are ROWS_RANGE-only (the reference rejects
+            # `ROWS BETWEEN 2s PRECEDING` — error_window.yaml id 8)
+            raise SqlUnsupported(f"ROWS frame bound {v!r} (unit bounds "
+                                 f"need ROWS_RANGE)")
         return int(v), is_open
     return parse_time_ms(v), is_open
 
@@ -490,6 +522,15 @@ def compile_window_clause(body: str) -> tuple[WindowSpec, list[int]]:
     max_size = 0
     mm = re.search(r"MAXSIZE\s+(\d+)", tail, re.IGNORECASE)
     if mm:
+        if frame == "rows":
+            # MAXSIZE is a ROWS_RANGE-only option (the reference rejects
+            # ROWS + MAXSIZE — error_window.yaml id 13)
+            raise SqlUnsupported("MAXSIZE requires a ROWS_RANGE frame")
+        if int(mm.group(1)) == 0:
+            # MAXSIZE 0 is rejected, not "unlimited"
+            # (test_maxsize.yaml id 3; negative MAXSIZE fails the
+            # \d+ pattern and errors via the unparsed-options check)
+            raise SqlUnsupported("MAXSIZE must be positive")
         max_size = int(mm.group(1))
         tail = tail.replace(mm.group(0), "")
     exclude_ct = bool(re.search(r"EXCLUDE\s+CURRENT_TIME", tail, re.IGNORECASE))
@@ -559,6 +600,18 @@ def _lift_anonymous_windows(sql: str) -> str:
     return new
 
 
+_SPLITCALL_RE = re.compile(
+    r"(?is)^\s*fz_window_split(?P<var>_by_key|_by_value)?"
+    r"\s*\((?P<inner>.*)\)\s*$")
+
+
+def _unquote_lit(s: str) -> str:
+    m = re.fullmatch(r"\s*'(.*)'\s*|\s*\"(.*)\"\s*", s, re.DOTALL)
+    if not m:
+        raise SqlUnsupported(f"string literal expected: {s!r}")
+    return m.group(1) if m.group(1) is not None else m.group(2)
+
+
 def _parse_agg_call(fn: str, argtxt: str, aux: dict | None = None) -> dict:
     """One kernel aggregate call → Agg kwargs {func,col,param,cond,cate}.
 
@@ -571,8 +624,6 @@ def _parse_agg_call(fn: str, argtxt: str, aux: dict | None = None) -> dict:
     fn = _AGG_ALIASES.get(fn, fn)
     args = [a.strip() for a in split_projection(argtxt)] if argtxt.strip() \
         else []
-    if fn not in KERNEL_AGG_FUNCS:
-        raise SqlUnsupported(f"aggregate {fn!r}")
 
     def ident(a):
         a = _strip_t(a)
@@ -584,6 +635,42 @@ def _parse_agg_call(fn: str, argtxt: str, aux: dict | None = None) -> dict:
         if expr not in aux:
             aux[expr] = f"__x{len(aux)}"
         return aux[expr]
+
+    # composite split aggregates (feature_zero_def.cc fz_window_split
+    # family — test_feature_zero_function.yaml, test_fz_sql.yaml):
+    #   fz_join(fz_window_split*(col, d[, kd]), sep) OVER w → joined csv
+    #   count/distinct_count(fz_window_split*(...)) OVER w  → part counts
+    #   fz_top1_ratio(fz_window_split*(...)) OVER w         → ratio
+    #   fz_topn_frequency(fz_window_split*(...), k) OVER w  → top-k csv
+    sm = _SPLITCALL_RE.match(args[0]) if args else None
+    if fn == "fz_join" or (sm and fn in (
+            "count", "distinct_count", "top1_ratio", "top_n_frequency")):
+        if fn == "fz_join":
+            if len(args) != 2 or not sm:
+                raise SqlUnsupported(
+                    "fz_join over a window needs (fz_window_split*(...), "
+                    "sep)")
+            sep, mode = _unquote_lit(args[1]), None
+        elif fn == "top_n_frequency":
+            if len(args) != 2:
+                raise SqlUnsupported(f"{fn} over a split needs (split, k)")
+            sep, mode = ",", f"top_n_frequency:{int(args[1])}"
+        else:
+            if len(args) != 1:
+                raise SqlUnsupported(f"{fn} over a split takes one arg")
+            sep, mode = ",", fn
+        inner = [a.strip() for a in split_projection(sm.group("inner"))]
+        var = (sm.group("var") or "").lower()
+        if len(inner) < 2 or (var and len(inner) < 3):
+            raise SqlUnsupported("fz_window_split needs (col, delim[, kv])")
+        return {"func": f"window_split{var}", "col": ident(inner[0]),
+                "param": mode, "cond": None, "cate": None,
+                "delim": _unquote_lit(inner[1]),
+                "kv_delim": _unquote_lit(inner[2]) if var else None,
+                "sep": sep}
+
+    if fn not in KERNEL_AGG_FUNCS:
+        raise SqlUnsupported(f"aggregate {fn!r}")
 
     kw: dict = {"func": fn, "col": ident(args[0]) if args else "",
                 "param": None, "cond": None, "cate": None}
@@ -630,7 +717,8 @@ class _AggAlloc:
         if wname not in self.windows:
             raise SqlUnsupported(f"unknown window {wname!r}")
         key = (wname, kw["func"], kw["col"], kw["param"], kw["cond"],
-               kw["cate"])
+               kw["cate"], kw.get("delim"), kw.get("kv_delim"),
+               kw.get("sep"))
         if key not in self.seen:
             alias = f"__e{len(self.seen)}"
             self.seen[key] = alias
@@ -680,9 +768,19 @@ def _extract_window_aggs(item: str, alloc: _AggAlloc) -> str:
         wname = om.group(1)
         argtxt = item[k + 1:p]
         lname = name.lower()
-        if lname in KERNEL_AGG_FUNCS or lname in _AGG_ALIASES:
-            out.append(alloc.get(
-                wname, _parse_agg_call(lname, argtxt, alloc.aux)))
+        if lname in KERNEL_AGG_FUNCS or lname in _AGG_ALIASES \
+                or lname == "fz_join":
+            try:
+                out.append(alloc.get(
+                    wname, _parse_agg_call(lname, argtxt, alloc.aux)))
+            except SqlUnsupported:
+                if lname != "fz_join":
+                    raise
+                # fz_join over a SCALAR list (fz_split, not
+                # fz_window_split) with OVER: the window is irrelevant —
+                # per-row value (test_feature_zero_function.yaml id 5)
+                out.append(
+                    f"{name}({_extract_window_aggs(argtxt, alloc)})")
         else:
             bound = _bind_nested_aggs(argtxt, wname, alloc)
             out.append(f"{name}({bound})")
@@ -694,6 +792,10 @@ def _bind_nested_aggs(text: str, wname: str, alloc: _AggAlloc) -> str:
     """Bind bare kernel-agg calls inside `text` to window `wname`."""
 
     def handler(n, args):
+        if n == "fz_join" and len(args) == 2 \
+                and _SPLITCALL_RE.match(args[0]):
+            return alloc.get(
+                wname, _parse_agg_call(n, ", ".join(args), alloc.aux))
         if n in KERNEL_AGG_FUNCS or n in _AGG_ALIASES:
             return alloc.get(
                 wname, _parse_agg_call(n, ", ".join(args), alloc.aux))
@@ -726,6 +828,9 @@ def compile_window_sql(sql: str) -> WindowQuery:
     alloc = _AggAlloc(q.windows, q.aux)
     for item in split_projection(m.group("proj")):
         item = item.strip()
+        if not item:
+            # trailing comma in the select list (test_window.yaml id 33)
+            continue
         rewritten = _extract_window_aggs(item, alloc)
         if rewritten == item:
             # no window aggregates: plain column (with optional alias)...
@@ -775,8 +880,8 @@ def compile_window_sql(sql: str) -> WindowQuery:
             aggs = q.windows[wname][2]
             for idx, a in enumerate(aggs):
                 if a.alias == body:
-                    aggs[idx] = Agg(a.func, a.col, alias, param=a.param,
-                                    cond=a.cond, cate=a.cate)
+                    import dataclasses
+                    aggs[idx] = dataclasses.replace(a, alias=alias)
                     alloc.seen[key] = alias
                     q.projection.append(("agg", wname, aggs[idx]))
                     break
@@ -893,6 +998,121 @@ def bind_params(sql: str, params) -> str:
     return "".join(out)
 
 
+def _tb_tpl(x: str) -> str:
+    """C-style truthiness of any operand — the reference's BoolCast
+    (cast_expr_ir_builder.cc:275-321): numerics/timestamp-ms != 0,
+    strings non-empty, dates non-null (encoded int != 0), NULL → NULL.
+    Every branch analyzes for every input type (string round-trips)."""
+    # inner casts are spelled try_cast so translate_expr's cast template
+    # (UTC+8 timestamp rendering) does NOT rewrite them — truthiness
+    # wants the raw epoch value, not the wall-clock string
+    return (f"(CASE WHEN typeof({x}) = 'boolean' "
+            f"THEN try_cast(try_cast({x} as string) as boolean) "
+            f"WHEN typeof({x}) = 'string' "
+            f"THEN (length(try_cast({x} as string)) > 0) "
+            f"WHEN typeof({x}) = 'date' "
+            f"THEN IF(({x}) IS NULL, try_cast(NULL as boolean), true) "
+            f"WHEN typeof({x}) = 'timestamp' "
+            f"THEN (unix_millis(try_cast(try_cast({x} as string) as "
+            f"timestamp)) <> 0) "
+            f"ELSE (try_cast(try_cast({x} as string) as double) <> 0.0) "
+            f"END)")
+
+
+def _split_kw(e: str, kw: str) -> list[str]:
+    """Split ``e`` on top-level occurrences of the logical keyword
+    (paren-, string- and CASE…END-aware)."""
+    masked = _mask_strings(e)
+    parts, depth, case_depth, start = [], 0, 0, 0
+    i, n = 0, len(masked)
+    while i < n:
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = re.match(r"(?i)\bCASE\b", masked[i:])
+            if m and (i == 0 or not masked[i-1].isalnum()):
+                case_depth += 1
+                i += 4
+                continue
+            m = re.match(r"(?i)\bEND\b", masked[i:])
+            if m and case_depth and (i == 0 or not masked[i-1].isalnum()):
+                case_depth -= 1
+                i += 3
+                continue
+            if case_depth == 0:
+                m = re.match(rf"(?i)\b{kw}\b", masked[i:])
+                if m and (i == 0 or not (masked[i-1].isalnum()
+                                         or masked[i-1] == "_")):
+                    parts.append(e[start:i])
+                    i += len(kw)
+                    start = i
+                    continue
+        i += 1
+    parts.append(e[start:])
+    return parts
+
+
+def _boolify_expr(e: str) -> str:
+    """Coerce the operands of logical operators to bool with the
+    reference's truthiness rules (retry path — only invoked after the
+    Spark analyzer rejected a non-boolean logical operand)."""
+    e = e.strip()
+    if not e:
+        return e
+    for kw, join in (("OR", " OR "), ("AND", " AND "), ("XOR", " != ")):
+        parts = _split_kw(e, kw)
+        if len(parts) > 1:
+            return join.join(_tb_tpl(_boolify_expr(p)) for p in parts)
+    m = re.match(r"(?is)^(?:NOT\b|!(?![=]))\s*(.+)$", e)
+    if m:
+        return f"(NOT {_tb_tpl(_boolify_expr(m.group(1)))})"
+    masked = _mask_strings(e)
+    if e.startswith("(") and e.endswith(")"):
+        depth = 0
+        for i, c in enumerate(masked):
+            depth += (c == "(") - (c == ")")
+            if depth == 0 and i < len(masked) - 1:
+                break
+        else:
+            return f"({_boolify_expr(e[1:-1])})"
+    return e
+
+
+def _boolify_sql(sql: str) -> str:
+    """Rewrite the top-level SELECT items and WHERE/HAVING bodies with
+    truthiness-coerced logical operands (test_logic.yaml: `!c2`,
+    `c2=2 and (c2-1)`, string/date/timestamp logical operands)."""
+    masked = _mask_strings(sql)
+    m = re.search(r"(?is)\bselect\b(.*?)\bfrom\b", masked)
+    if m:
+        body = sql[m.start(1):m.end(1)]
+        items = []
+        for item in split_projection(body):
+            am = re.fullmatch(r"(?is)(.+?)\s+as\s+(\w+)\s*",
+                              _mask_strings(item))
+            if am:
+                items.append(_boolify_expr(item[:am.end(1)])
+                             + f" as {am.group(2)}")
+            else:
+                items.append(_boolify_expr(item))
+        sql = sql[:m.start(1)] + " " + ", ".join(items) + " " \
+            + sql[m.end(1):]
+        masked = _mask_strings(sql)
+    for clause in ("where", "having"):
+        cm = re.search(
+            rf"(?is)\b{clause}\b(.*?)(?=\bgroup\s+by\b|\bhaving\b|"
+            rf"\border\s+by\b|\blimit\b|\bwindow\b|;|$)", masked)
+        if cm:
+            sql = (sql[:cm.start(1)] + " "
+                   + _boolify_expr(sql[cm.start(1):cm.end(1)]) + " "
+                   + sql[cm.end(1):])
+            masked = _mask_strings(sql)
+    return sql
+
+
 def run_sql(spark, sql: str, tables, params=None):
     """Execute a supported OpenMLDB SQL query over DataFrames — either a
     positional list (``{0}`` refs) or a {name: df} dict (named tables).
@@ -913,10 +1133,25 @@ def run_sql(spark, sql: str, tables, params=None):
         # (udf.cc Timestamp.ts_); Spark's analyzer rejects ts+int. Retry
         # with millisecond views — every calendar/cast template typeof-
         # dispatches, so date parts still render identically on int64 ms.
+        # Logical operators additionally BoolCast ANY operand (C-style
+        # truthiness, cast_expr_ir_builder.cc:275) — when the analyzer
+        # demands a BOOLEAN, retry with truthiness-coerced operands.
         if type(e).__name__ != "AnalysisException" or \
                 "DATATYPE_MISMATCH" not in str(e):
             raise
-        return _dispatch_sql(spark, sql, _ms_tables(tables))
+        attempts = []
+        if "BOOLEAN" in str(e) or "(NOT" in str(e):
+            bsql = _boolify_sql(sql)
+            attempts += [(bsql, tables), (bsql, _ms_tables(tables))]
+        attempts.append((sql, _ms_tables(tables)))
+        for asql, atables in attempts[:-1]:
+            try:
+                return _dispatch_sql(spark, asql, atables)
+            except Exception as e2:
+                if type(e2).__name__ != "AnalysisException" or \
+                        "DATATYPE_MISMATCH" not in str(e2):
+                    raise
+        return _dispatch_sql(spark, *attempts[-1])
 
 
 def _ms_tables(tables: list) -> list:
@@ -979,6 +1214,30 @@ def _run_plain_sql(spark, sql: str, tables: list):
     LIMIT / sub-selects: translate OpenMLDB function names and delegate
     to Spark SQL (temp views __sql_t{i}) — Catalyst handles the rest
     (reference semantics: GroupByAggregationPlan.scala:38-170)."""
+    # float/double GROUP BY keys are rejected by the reference
+    # (v040/test_groupby.yaml ids 6-7) — hash-grouping on floats is
+    # ill-defined; fail instead of silently grouping
+    gm = re.search(
+        r"\bgroup\s+by\s+(.*?)(?:\bhaving\b|\border\s+by\b|\blimit\b|;|$)",
+        _mask_strings(sql), re.IGNORECASE | re.DOTALL)
+    if gm:
+        for tok in gm.group(1).split(","):
+            tok = _strip_t(tok)
+            if not re.fullmatch(r"\w+", tok):
+                continue
+            for df in tables:
+                if tok in df.columns and \
+                        dict(df.dtypes)[tok] in ("float", "double"):
+                    raise SqlUnsupported(
+                        f"GROUP BY {tok!r} is {dict(df.dtypes)[tok]}: "
+                        f"the reference rejects float/double group keys")
+
+    # count over a const is rejected by the reference (`count(1)` fails,
+    # `count(*)` passes — v040/test_udaf.yaml ids 0-1); masked so a
+    # literal "count(1)" inside a string cannot trip it
+    if re.search(r"\bcount\s*\(\s*\d", _mask_strings(sql), re.IGNORECASE):
+        raise SqlUnsupported("count over a const (reference rejects)")
+
     for i, df in enumerate(tables):
         df.createOrReplaceTempView(f"__sql_t{i}")
     sql = _sub_outside_strings(r"\{(\d+)\}", r"__sql_t\1", sql)
@@ -1071,6 +1330,39 @@ def _run_window_sql(sql: str, tables: list, limit: int | None = None):
         if not aggs:
             continue
         union = [tables[i] for i in union_idx]
+        # WINDOW UNION requires the union table's schema to match the
+        # primary's exactly — count, names, types — even for columns the
+        # query never touches (test_window_union.yaml ids 1-3 reject a
+        # missing, renamed, or retyped column). int64<->timestamp stays
+        # interchangeable (OpenMLDB timestamps ARE int64 ms). The
+        # programmatic window_agg API stays lenient (aligned subsets via
+        # unionByName) — this strictness is the SQL front door's.
+        p_fields = [(f.name, f.dataType)
+                    for f in tables[q.primary_idx].schema.fields]
+        for u in union:
+            u_fields = [(f.name, f.dataType) for f in u.schema.fields]
+            if [n for n, _ in p_fields] != [n for n, _ in u_fields]:
+                raise SqlUnsupported(
+                    f"WINDOW UNION table schema "
+                    f"{[n for n, _ in u_fields]} does not match primary "
+                    f"{[n for n, _ in p_fields]}")
+            for (pn, pt), (_, ut) in zip(p_fields, u_fields):
+                import pyspark.sql.types as Ty
+                ints = (Ty.ByteType, Ty.ShortType, Ty.IntegerType,
+                        Ty.LongType, Ty.TimestampType)
+                # decimal only arises from Spark-side arithmetic typing
+                # (OpenMLDB has no decimal type) — logically a double;
+                # float vs double stays a mismatch (the reference's
+                # schema check is exact)
+                dbls = (Ty.DoubleType, Ty.DecimalType)
+                if pt != ut and not (
+                        (isinstance(pt, ints) and isinstance(ut, ints))
+                        or (isinstance(pt, dbls)
+                            and isinstance(ut, dbls))):
+                    raise SqlUnsupported(
+                        f"WINDOW UNION column {pn!r} type "
+                        f"{ut.simpleString()} != primary "
+                        f"{pt.simpleString()}")
         for expr, name in q.aux.items():
             union = [u.withColumn(name, F.expr(expr)) for u in union]
         out = window_agg(primary, spec, aggs, keep_cols=[_RID],
@@ -1096,13 +1388,27 @@ def _run_lastjoin_sql(sql: str, tables: list, limit: int | None = None):
 
     sql = sql.strip().replace("\n", " ")
     # resolve per-table aliases (`from {0} as t0` / `join {1} as t1` with
-    # `t1.col` refs — cases/query/fz_sql.yaml:3)
+    # `t1.col` refs — cases/query/fz_sql.yaml:3). The same table joined
+    # under several aliases becomes several table INSTANCES (fz_sql.yaml
+    # id 3, test_index_optimized.yaml id 4 LAST JOIN the same table
+    # twice): each alias after an index's first use gets an appended
+    # copy, keeping stage prefixes and projection refs distinct.
+    tables = list(tables)
+    used = {int(x) for x in re.findall(
+        r"(?:join|from)\s+\{(\d+)\}(?!\s+as)", sql, re.IGNORECASE)}
     for am in list(re.finditer(
             r"(?:join|from)\s+\{(\d+)\}\s+as\s+(\w+)", sql, re.IGNORECASE)):
-        sql = re.sub(rf"\b{re.escape(am.group(2))}\s*\.",
-                     f"{{{am.group(1)}}}.", sql)
-    sql = re.sub(r"((?:join|from)\s+\{\d+\})\s+as\s+\w+", r"\1", sql,
-                 flags=re.IGNORECASE)
+        idx, alias = int(am.group(1)), am.group(2)
+        if idx in used:
+            new_idx = len(tables)
+            tables.append(tables[idx])
+        else:
+            new_idx = idx
+            used.add(idx)
+        sql = re.sub(
+            rf"((?:join|from)\s+)\{{{idx}\}}\s+as\s+{re.escape(alias)}\b",
+            rf"\g<1>{{{new_idx}}}", sql, count=1, flags=re.IGNORECASE)
+        sql = re.sub(rf"\b{re.escape(alias)}\s*\.", f"{{{new_idx}}}.", sql)
     # optional WHERE after the join condition (parameterized_query.yaml:5)
     where_txt = None
     wm = re.search(r"\s+\bwhere\b\s+(?P<w>[^;]*?)\s*;?\s*$", sql,
@@ -1179,6 +1485,29 @@ def _one_last_join(left, right, order, cond_txt, rid=False,
         left = left.withColumn(_RID, F.monotonically_increasing_id()) \
                    .localCheckpoint(eager=True)
 
+    # qualify bare column refs in the ON condition against the two
+    # schemas (`on out1_id = out2_id` —
+    # cluster/window_and_lastjoin.yaml ids 4-5): right-only names → the
+    # right table, left names → {0}; ambiguous names stay left (the
+    # head's column wins, as in the reference's resolver)
+    lcols, rcols = set(left.columns), set(right.columns)
+    rcols_order = list(right.columns)
+    _kw = {"and", "or", "not", "between", "is", "null", "true", "false",
+           "like", "in", "case", "when", "then", "else", "end", "xor"}
+
+    def _qual(m):
+        n = m.group(0)
+        if n.lower() in _kw:
+            return n
+        if n in lcols:
+            return "{0}." + n
+        if n in rcols:
+            return "{1}." + n
+        return n
+
+    cond_txt = _sub_outside_strings(
+        r"(?<![\w.}'\"])[A-Za-z_]\w*\b(?!\s*[(.])", _qual, cond_txt)
+
     right = right.select(*[F.col(c).alias(f"{rprefix}{c}")
                            for c in right.columns])
     equi, residual = [], []
@@ -1239,7 +1568,13 @@ def _one_last_join(left, right, order, cond_txt, rid=False,
     for c in need:
         out = out.withColumnRenamed(f"rk__{c}", f"{rprefix}{c}") \
             if f"{rprefix}{c}" not in out.columns else out.drop(f"rk__{c}")
-    return out
+    # `select *` must see right columns in the right table's declared
+    # order (key/order columns included — the reference's SIMPLE_PROJECT
+    # keeps table order; cluster/window_and_lastjoin.yaml ids 3-5)
+    lkeep = [c for c in out.columns if not c.startswith(rprefix)]
+    rkeep = [f"{rprefix}{c}" for c in rcols_order
+             if f"{rprefix}{c}" in out.columns]
+    return out.select(*lkeep, *rkeep)
 
 
 def _apply_lastjoin_where(out, where_txt: str | None, prefixes: dict):

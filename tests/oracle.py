@@ -84,12 +84,45 @@ def oracle_agg(rows, i, spec, func, col, param=None, cond=None, cate=None):
     fr = frame_rows(rows, i, spec)
     vals = [rows[j][col] for j in fr]
 
-    if func in ("lag", "at", "first_value"):
-        k = 0 if func == "first_value" else int(param or 0)
-        # newest-first indexing over the frame
-        if k < len(fr):
-            return rows[fr[len(fr) - 1 - k]][col]
-        return None
+    if func == "first_value":
+        # newest FRAME row (frame-bound — OpenMLDB#1587,
+        # test_window.yaml id 33)
+        return rows[fr[-1]][col] if fr else None
+
+    if func in ("lag", "at"):
+        # k-th row back from the CURRENT row's position in the
+        # partition-ordered buffer, bounded by the partition start and
+        # MAXSIZE only — the declared frame does NOT bound it
+        # (test_udaf_function.yaml ids 57-60, issue #1554), and
+        # end-bound exclusions do not shift the anchor
+        # (test_window.yaml ids 36-37, test_window_union.yaml id 19)
+        k = int(param or 0)
+
+        def elig(j):
+            return not (spec.instance_not_in_window
+                        and rows[j]["__primary"] == 1)
+
+        if k == 0:
+            return rows[i][col]
+        if getattr(spec, "exclude_current_time", False):
+            # same-ts rows are not buffered: count back from the first
+            # row with ts strictly below the anchor's (ids 18-4/18-5)
+            elig_idx = [j for j in range(i + 1)
+                        if elig(j) and rows[j]["__ord"] < rows[i]["__ord"]]
+            buf_end = len(elig_idx) + 1       # + the current row
+            pos = len(elig_idx) - k
+        else:
+            selfe = 1 if elig(i) else 0
+            elig_idx = [j for j in range(i + 1) if elig(j)]
+            pe = len(elig_idx) - selfe
+            buf_end = pe + selfe
+            pos = pe - k
+        if pos < 0 or pos >= buf_end or pos >= len(elig_idx):
+            return None
+        if spec.max_size and spec.max_size > 0 \
+                and pos < buf_end - spec.max_size:
+            return None
+        return rows[elig_idx[pos]][col]
 
     if cond is not None:
         vals = [v for v, j in zip(vals, fr) if rows[j][cond]]

@@ -30,20 +30,37 @@ FILES = ["test_window_row.yaml", "test_window_row_range.yaml",
 @pytest.mark.skipif(not os.environ.get("SPARK_GRAFT_FULL_CORPUS"),
                     reason="slow full-corpus replay; set SPARK_GRAFT_FULL_CORPUS=1")
 def test_full_window_corpus_through_spark(spark):
-    ok, fail, skip = 0, [], 0
+    ok, fail, skip, exec_ok = 0, [], 0, 0
     for f in FILES:
         for case in load_cases(f):
             if case.get("mode") and "batch-unsupport" in str(case["mode"]):
                 continue
             exp = case.get("expect", {})
-            if exp.get("success") is False or "columns" not in exp \
-                    or "rows" not in exp:
-                skip += 1
+            if exp.get("success") is False:
+                # rejection parity is covered by test_negative_cases.py
                 continue
+            # success-only cases (no literal rows) run in crash/schema
+            # mode below — the reference exercises them the same way
+            # (expect: success)
+            success_only = "columns" not in exp or "rows" not in exp
             try:
-                dfs = [_mkdf(spark, inp) for inp in case["inputs"]]
                 sql = str(case["sql"])
+                if re.search(r"\{\d+\}", sql) or not all(
+                        i.get("name") for i in case["inputs"]):
+                    dfs = [_mkdf(spark, inp) for inp in case["inputs"]]
+                else:
+                    # name-referenced tables (test_window.yaml ids 33-37)
+                    dfs = {i["name"]: _mkdf(spark, i)
+                           for i in case["inputs"]}
                 got = run_sql(spark, sql, dfs).toPandas()
+                if success_only:
+                    if "columns" in exp:
+                        want = [c.rsplit(" ", 1)[0].strip()
+                                for c in exp["columns"]]
+                        assert list(got.columns) == want, \
+                            (list(got.columns), want)
+                    exec_ok += 1
+                    continue
                 lm = re.search(r"\blimit\s+(\d+)\s*;?\s*$", sql.strip(),
                                re.IGNORECASE)
                 full = None
@@ -70,7 +87,12 @@ def test_full_window_corpus_through_spark(spark):
             except AssertionError as e:
                 fail.append((f, case.get("id"), str(e)[:100]))
     assert not fail, fail
-    assert ok >= 190, f"only {ok} corpus cases passed the Spark path"
+    # round 3: the former "no literal expect" skips turned out to be
+    # `data:`-format cases — now parsed and VALUE-checked (ok), so the
+    # ratchet moves 190 → 200; remaining skip budget covers the 2
+    # documented int-widening divergences
+    assert ok >= 200, f"only {ok} corpus cases passed the Spark path"
+    assert skip <= 4, f"{skip} corpus skips (budget 4)"
 
 
 def _check_limit(got, full, exp, n):
@@ -84,9 +106,14 @@ def _check_limit(got, full, exp, n):
     assert gset <= fset, gset - fset
 
 
+_TYPE_ALIASES = {"int64": "bigint", "int32": "int", "int16": "smallint",
+                 "bool": "boolean"}
+
+
 def _check(got, exp):
     cols = [c.rsplit(" ", 1)[0].strip() for c in exp["columns"]]
-    typs = [c.rsplit(" ", 1)[1].strip().lower() for c in exp["columns"]]
+    typs = [_TYPE_ALIASES.get(t, t) for t in
+            (c.rsplit(" ", 1)[1].strip().lower() for c in exp["columns"])]
     assert list(got.columns) == cols and len(got) == len(exp["rows"])
     order = exp.get("order")
     erows = exp["rows"]
@@ -115,18 +142,24 @@ def _check(got, exp):
         for t, gv, ev in zip(typs, grow, erow):
             if ev is None:
                 assert gv is None
+            elif gv is None:
+                raise AssertionError(f"got None, expected {ev!r} ({t})")
             elif t in ("float", "double"):
                 assert math.isclose(float(gv), float(ev),
                                     rel_tol=1e-5, abs_tol=1e-5)
             elif t in ("int", "bigint", "smallint", "timestamp"):
                 if isinstance(gv, pd.Timestamp):
                     gv = gv.value // 10**6  # ns → ms (OpenMLDB int64 ms)
-                gi = int(gv)
+                gi = int(float(gv))  # nullable-int columns come back float
                 if gi != int(ev) and t in ("int", "smallint"):
                     bits = 32 if t == "int" else 16
                     if ((gi + (1 << (bits - 1))) % (1 << bits)) - (
                             1 << (bits - 1)) == int(ev):
                         raise Unsupported("int overflow wrap (we widen)")
                 assert gi == int(ev)
+            elif t == "date":
+                # corpus dates may be non-padded ('2012-8-11')
+                from test_window_query_cases import _parse_date
+                assert _parse_date(gv) == _parse_date(ev), (gv, ev)
             else:
                 assert str(gv) == str(ev)

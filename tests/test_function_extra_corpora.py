@@ -1,0 +1,104 @@
+"""Replay the remaining batch-relevant reference corpora that no other
+test touches (round 3):
+
+    cases/function/cluster/window_and_lastjoin.yaml   (window + LAST JOIN combos)
+    cases/function/expression/test_logic.yaml
+    cases/function/function/test_udf_function.yaml
+    cases/function/select/test_where.yaml
+    cases/function/test_feature_zero_function.yaml    (fz_* split/join UDAFs)
+    cases/function/test_fz_sql.yaml                   (FeatureZero scenario SQL)
+    cases/function/test_index_optimized.yaml          (WHERE / windows over indexes)
+
+The cluster corpus is the reference's multi-partition CI suite — same
+batch semantics, data spread over partitions; our engine is always
+multi-partition so the cases replay as plain value-checked queries.
+Negative (`success: false`) cases are exercised by the rejection sweep
+(test_negative_sweep.py) for the query surface; here they're skipped.
+`indexs` declarations are storage hints (we have no index surface — the
+Spark engine scans parquet); plans in `batch_plan`/`request_plan` pin
+the reference's physical operators, not results, and are ignored.
+"""
+
+import pytest
+import yaml
+
+from openmldb_spark.sqlfe import SqlUnsupported, run_sql
+from yaml_harness import expand_case
+from test_plain_query_cases import check_case
+from test_window_query_cases import Unsupported
+
+CASES = "/root/reference/cases/function"
+
+FILES = [
+    "cluster/window_and_lastjoin.yaml",
+    "expression/test_logic.yaml",
+    "function/test_udf_function.yaml",
+    "select/test_where.yaml",
+    "test_feature_zero_function.yaml",
+    "test_fz_sql.yaml",
+    "test_index_optimized.yaml",
+]
+
+
+def _load(fname):
+    with open(f"{CASES}/{fname}") as f:
+        cases = yaml.safe_load(f)["cases"]
+    out = []
+    for c in cases:
+        out.extend(expand_case(c))
+    return out
+
+
+def _params():
+    out = []
+    for f in FILES:
+        for c in _load(f):
+            out.append(pytest.param(f, c, id=f"{f}::{c.get('id')}"))
+    return out
+
+
+def _excluded(case) -> str | None:
+    mode = str(case.get("mode") or "")
+    if "batch-unsupport" in mode or "offline-unsupport" in mode:
+        return "marked batch-unsupported"
+    if case.get("expect", {}).get("success") is False:
+        return "negative case (rejection sweep covers the query surface)"
+    if "%%fun" in str(case.get("sql", "")):
+        return "user-defined script function"
+    return None
+
+
+@pytest.mark.parametrize("fname,case", _params())
+def test_extra_corpus_case(fname, case, spark):
+    why = _excluded(case)
+    if why:
+        pytest.skip(why)
+    try:
+        check_case(spark, case)
+    except (Unsupported, SqlUnsupported) as e:
+        pytest.skip(f"unsupported: {e}")
+
+
+def test_minimum_extra_corpus_coverage(spark):
+    """Ratchet: the count of fully value-checked cases from these files
+    must not regress."""
+    ok, fails, skips = 0, [], []
+    for f in FILES:
+        for case in _load(f):
+            if _excluded(case):
+                continue
+            try:
+                check_case(spark, case)
+                ok += 1
+            except (Unsupported, SqlUnsupported) as e:
+                skips.append((f, case.get("id"), str(e)[:90]))
+            except AssertionError as e:
+                fails.append((f, case.get("id"), str(e)[:90]))
+            except Exception as e:
+                fails.append((f, case.get("id"),
+                              type(e).__name__ + " " + str(e)[:90]))
+    assert not fails, fails
+    # recorded run: 37 ok / 0 fail / 0 skip (every non-excluded case
+    # fully value-checked)
+    assert ok >= 37, f"only {ok} extra-corpus cases passed"
+    assert not skips, skips

@@ -148,3 +148,90 @@ def test_salt_quantiles_rows_frame_equals_unsalted(spark):
                         salt_quantiles=8).toPandas().sort_values(KEY).reset_index(drop=True)
     assert len(base) == len(salted) == len(rows)
     pd.testing.assert_frame_equal(base, salted)
+
+
+# --------------------------------------------------------------------------
+# Wide string-heavy "news-like" schema (production-script shape):
+# guards the frame kernel's multi-agg path at realistic width
+# (dozens of aggregates per window, mixed types, hot keys, nulls)
+# --------------------------------------------------------------------------
+
+def _news_like(spark, n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    users = [f"u{i}" for i in range(12)] + ["hot"] * 8   # skewed user key
+    rows = []
+    for i in range(n):
+        rows.append((
+            f"ik{i}",
+            int(1_600_000_000_000 + rng.integers(0, 7_200_000)),
+            str(rng.choice(users)),
+            f"news{int(rng.integers(0, 40))}",
+            f"cat{int(rng.integers(0, 6))}",
+            f"media{int(rng.integers(0, 9))}",
+            None if rng.random() < 0.1 else int(rng.integers(0, 500)),
+            None if rng.random() < 0.1 else float(rng.random() * 100),
+            int(rng.integers(0, 2)),
+            f"tag{int(rng.integers(0, 15))}",
+        ))
+    return spark.createDataFrame(
+        rows, "InstanceKey string, RequestDatetime bigint, UserId string, "
+              "NewsId string, CategoryId string, MediaId string, "
+              "ContentWords int, Score double, Clicked int, Tag string")
+
+
+def test_wide_schema_kernel_vs_builtin(spark):
+    """Kernel vs pure-JVM builtin tier over a news-like schema with 10
+    aggregates in one window pass (multi-agg width; hot UserId key)."""
+    t = _news_like(spark)
+    spec = WindowSpec(partition_by=["UserId"], order_by="RequestDatetime",
+                      frame="rows_range", preceding="2h",
+                      tiebreak=("InstanceKey",))
+    aggs = [Agg("sum", "ContentWords", "s1"), Agg("count", "ContentWords", "c1"),
+            Agg("avg", "ContentWords", "a1"), Agg("min", "ContentWords", "m1"),
+            Agg("max", "ContentWords", "x1"),
+            Agg("sum", "Score", "s2"), Agg("count", "Score", "c2"),
+            Agg("avg", "Score", "a2"), Agg("min", "Score", "m2"),
+            Agg("max", "Score", "x2")]
+    key = ["InstanceKey"]
+    k = window_agg(t, spec, aggs, keep_cols=key, tier="kernel") \
+        .toPandas().sort_values(key).reset_index(drop=True)
+    b = window_agg(t, spec, aggs, keep_cols=key, tier="builtin") \
+        .toPandas().sort_values(key).reset_index(drop=True)
+    assert len(k) == len(b) == t.count()
+    for c in ("s1", "c1", "a1", "m1", "x1", "s2", "c2", "a2", "m2", "x2"):
+        np.testing.assert_allclose(
+            k[c].astype(float), b[c].astype(float), rtol=1e-9, atol=1e-12)
+
+
+def test_wide_schema_sql_leakage_ablation(spark):
+    """Leakage ablation over a production-shaped SQL statement (two
+    windows, string UDAFs, CASE+lag guards): dropping all rows after a
+    cutoff leaves features at/before the cutoff unchanged."""
+    from openmldb_spark.sqlfe import run_sql
+
+    sql = """
+    select InstanceKey, UserId, RequestDatetime,
+        fz_top1_ratio(NewsId) over w_user as top1_news,
+        distinct_count(CategoryId) over w_user as uniq_cat,
+        fz_topn_frequency(MediaId, 3) over w_user as top3_media,
+        count(Clicked) over w_user as n_clicks,
+        sum(ContentWords) over w_user as sum_words,
+        case when !isnull(lag(Tag, 0)) over w_cat then
+            count(Tag) over w_cat else null end as cat_tag_count,
+        avg(Score) over w_cat as avg_score
+    from {0}
+    window w_user as (partition by UserId order by RequestDatetime
+                      rows_range between 2h preceding and 0s preceding),
+          w_cat as (partition by CategoryId order by RequestDatetime
+                    rows between 100 preceding and 0 preceding);
+    """
+    t = _news_like(spark)
+    full = {(r["InstanceKey"]): tuple(r)
+            for r in run_sql(spark, sql, [t]).collect()}
+    cutoff = t.approxQuantile("RequestDatetime", [0.5], 0.0)[0]
+    trunc = t.where(F.col("RequestDatetime") <= cutoff)
+    ablated = {(r["InstanceKey"]): tuple(r)
+               for r in run_sql(spark, sql, [trunc]).collect()}
+    assert len(ablated) > 100
+    for k, v in ablated.items():
+        assert v == full[k], (k, v, full[k])

@@ -183,3 +183,47 @@ def test_minhash_xxhash64_fast_path(spark, docs):
     high = {k for k, v in exact.items() if v >= 0.8}
     if high:
         assert len(high & set(fast)) / len(high) >= 0.8
+
+
+def test_minhash_fast_certified_against_ground_truth(spark):
+    """CERTIFICATION of the xxhash64 production path (the one CORRECTNESS
+    entry without a DuckDB value oracle — xxhash64 isn't replicable in
+    SQL): on a fixture where every true pair is an exact duplicate
+    (identical shingle sets → identical signatures → banding recall is
+    exactly 1.0 for ANY hash family), the xxhash64 pair set, the md5
+    twin's pair set, and the exact n-gram-jaccard ground truth must be
+    IDENTICAL — values included. Deterministic: non-dup texts share no
+    tokens, so every cross pair has jaccard 0 < threshold."""
+    from openmldb_spark.pipeline.dedup import (minhash_lsh_pairs,
+                                               ngram_jaccard_pairs)
+
+    rows = []
+    did = 0
+    # 8 duplicate groups: 2-3 copies of the same text
+    for g in range(8):
+        text = " ".join(f"g{g}w{w}" for w in range(12))
+        for _ in range(2 + g % 2):
+            rows.append((did, text))
+            did += 1
+    # 10 singletons with disjoint vocabularies (jaccard 0 to everything)
+    for s in range(10):
+        rows.append((did, " ".join(f"s{s}u{w}" for w in range(12))))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                          threshold=0.4).collect()}
+    md5 = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_lsh_pairs(docs, "text", "doc_id",
+                                      threshold=0.4).collect()}
+    fast = {(r.id_a, r.id_b): r.jaccard
+            for r in minhash_lsh_pairs(docs, "text", "doc_id",
+                                       threshold=0.4,
+                                       hash_fn="xxhash64").collect()}
+    # ground truth is exactly the within-group pairs, all jaccard 1.0
+    n_expected = sum(k * (k - 1) // 2 for k in (2, 3, 2, 3, 2, 3, 2, 3))
+    assert len(exact) == n_expected and all(
+        v == 1.0 for v in exact.values()), exact
+    assert fast == exact, (fast.keys() ^ exact.keys())
+    assert md5 == exact, (md5.keys() ^ exact.keys())

@@ -18,7 +18,7 @@ _SPARK_TYPES = {
     "bigint": T.LongType(), "int64": T.LongType(),
     "float": T.FloatType(), "double": T.DoubleType(),
     "string": T.StringType(), "bool": T.BooleanType(),
-    "timestamp": T.LongType(), "date": T.StringType(),
+    "timestamp": T.LongType(), "date": T.DateType(),
 }
 
 
@@ -42,6 +42,10 @@ def _mkdf(spark, inp):
             elif t == "bool":
                 rr.append(v if isinstance(v, bool)
                           else str(v).lower() in ("true", "1"))
+            elif t == "date":
+                # real DateType (corpus may spell non-padded '2012-8-11')
+                from test_window_query_cases import _parse_date
+                rr.append(_parse_date(v))
             else:
                 rr.append(str(v))
         fixed.append(rr)
@@ -136,8 +140,11 @@ def test_sqlfe_named_tables(spark):
     t = spark.createDataFrame(
         [("a", 0, 1000, 1.0), ("a", 1, 2000, 2.0), ("a", 2, 3000, 4.0)],
         ["conv_id", "turn_idx", "ts_ms", "value"])
+    # union schema must match the primary exactly (name/count/type) —
+    # the reference rejects subset schemas (test_window_union.yaml id 1)
     hist = spark.createDataFrame(
-        [("a", 500, 10.0)], ["conv_id", "ts_ms", "value"])
+        [("a", -1, 500, 10.0)],
+        ["conv_id", "turn_idx", "ts_ms", "value"])
     sql = """
     SELECT conv_id, turn_idx, sum(value) OVER w1 AS s
     FROM transcripts WINDOW w1 AS (

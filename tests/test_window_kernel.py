@@ -203,8 +203,11 @@ def test_lag_within_frame():
         return [None if pd.isna(x) else x for x in out[c]]
     assert clean("l1") == [None, 1, 2, 3, 4]
     assert clean("l2") == [None, None, 1, 2, 3]
-    # frame holds only 3 rows → lag(3) always outside the frame
-    assert clean("l3") == [None, None, None, None, None]
+    # lag is partition-scoped, NOT frame-bounded: the reference merges
+    # each lag offset into the buffered frame, so lag(3) over `rows
+    # between 2 preceding and current row` still reaches the 3rd row
+    # back (test_udaf_function.yaml ids 57-60, OpenMLDB issue #1554)
+    assert clean("l3") == [None, None, None, 1, 2]
 
 
 # ---- hard UDAFs ----

@@ -21,8 +21,19 @@ _TYPES = {
     "int64": T.LongType(), "bigint": T.LongType(),
     "float": T.FloatType(), "double": T.DoubleType(),
     "string": T.StringType(), "bool": T.BooleanType(),
-    "timestamp": T.TimestampType(), "date": T.StringType(),
+    "timestamp": T.TimestampType(), "date": T.DateType(),
 }
+
+
+def _parse_date(v):
+    """Corpus date spelling → datetime.date (non-padded '2012-8-11')."""
+    import datetime
+    if v is None:
+        return None
+    if isinstance(v, datetime.date):
+        return v
+    y, mo, d = (int(p) for p in str(v).strip().split("-"))
+    return datetime.date(y, mo, d)
 
 
 def _ms_to_dt(ms):
@@ -80,13 +91,18 @@ def _mk_named_df(spark, inp):
             raise Unsupported(f"type in {cols}")
         schema = T.StructType([T.StructField(n, _TYPES[t]) for n, t in cols])
         if "rows" in inp:
-            rows = [[v.isoformat() if isinstance(v, datetime.date) else v
-                     for v in r] for r in inp["rows"]]
+            # yaml rows may spell typed values loosely ('1.0' for a
+            # double, 1 for a float) — coerce per declared type; strings
+            # stay verbatim ('' is a real empty string here, not NULL)
+            rows = [[v if v is None or t == "string"
+                     else _parse_value(str(v), t)
+                     for v, (_, t) in zip(r, cols)] for r in inp["rows"]]
         else:
             rows = [[_parse_value(v, t)
                      for v, (_, t) in zip(line.split(","), cols)]
                     for line in str(inp["data"]).strip().splitlines()]
         rows = [[_ms_to_dt(v) if t == "timestamp" and isinstance(v, int)
+                 else _parse_date(v) if t == "date"
                  else v for v, (_, t) in zip(r, cols)] for r in rows]
         return inp.get("name", "t1"), spark.createDataFrame(rows, schema)
     if "schema" not in inp or "data" not in inp:
@@ -102,6 +118,7 @@ def _mk_named_df(spark, inp):
             raise Unsupported("ragged data row")
         parsed = [_parse_value(v, t) for v, (_, t) in zip(vals, cols)]
         rows.append([_ms_to_dt(v) if t == "timestamp" and isinstance(v, int)
+                     else _parse_date(v) if t == "date"
                      else v for v, (_, t) in zip(parsed, cols)])
     return inp.get("name", "t1"), spark.createDataFrame(rows, schema)
 
@@ -149,6 +166,9 @@ def _check(spark, case):
             elif typ in ("int", "int32", "int16", "smallint", "int64",
                          "bigint", "timestamp"):
                 assert int(gv) == int(ev), (name, gv, ev)
+            elif typ == "date":
+                # corpus dates may be non-padded ('2012-8-11')
+                assert _parse_date(gv) == _parse_date(ev), (name, gv, ev)
             else:
                 assert str(gv) == str(ev), (name, gv, ev)
 

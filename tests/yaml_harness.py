@@ -30,6 +30,7 @@ import yaml
 
 from openmldb_spark.plans.specs import Agg, KERNEL_AGG_FUNCS, WindowSpec
 from openmldb_spark.operators.window_kernel import (EXPANDED, ORD, PRIMARY,
+                                                    UPOS,
                                                     group_window_features)
 
 CASES_DIR = "/root/reference/cases/function/window"
@@ -123,6 +124,8 @@ def _run_window(pdf0, types0, inputs, spec, union_idx, aggs) -> pd.DataFrame:
         w = f.copy()
         w[ORD] = _ord_values(w, spec.order_by, types0.get(spec.order_by, ""))
         w[PRIMARY] = 1 if j == 0 else 0
+        # later-listed union tables sort older at equal ts (id 19)
+        w[UPOS] = -j
         w[EXPANDED] = 0
         work_frames.append(w)
     work = pd.concat(work_frames, ignore_index=True)
@@ -224,7 +227,24 @@ def expand_case(case: dict) -> list[dict]:
     if not dp:
         return [case]
     if len(dp) != 1:
-        return []  # multi-dim not needed by the window corpus
+        # multi-dim: full cross-product, but only when the expectation is
+        # case-level (expectProvider's multi-dim indexing is not needed
+        # by any corpus we replay — the negative sweep uses this for
+        # success:false cases where every combination must fail)
+        if case.get("expectProvider"):
+            return []
+        import itertools
+        out = []
+        for combo in itertools.product(*dp):
+            c = dict(case)
+            sql = str(case["sql"])
+            for di, val in enumerate(combo):
+                sql = sql.replace(f"d[{di}]", str(val))
+            c["sql"] = sql
+            c["id"] = f"{case.get('id')}@" + "|".join(map(str, combo))
+            c.pop("dataProvider", None)
+            out.append(c)
+        return out
     out = []
     for i, val in enumerate(dp[0]):
         c = dict(case)
@@ -241,10 +261,46 @@ def expand_case(case: dict) -> list[dict]:
     return out
 
 
+def _data_rows(txt) -> list[list]:
+    """Parse the corpus' CSV-ish ``data:`` block (the alternative to
+    ``rows:`` — test_window.yaml ids 33-37): comma-separated cells,
+    NULL → None, cells type-converted downstream by declared column
+    type."""
+    rows = []
+    for line in str(txt).strip().split("\n"):
+        if not line.strip():
+            continue
+        rows.append([None if v.strip().upper() == "NULL" else v.strip()
+                     for v in line.split(",")])
+    return rows
+
+
+def _normalize_data(case: dict) -> dict:
+    changed = False
+    inputs = []
+    for inp in case.get("inputs", []):
+        if "data" in inp and "rows" not in inp:
+            inp = dict(inp)
+            inp["rows"] = _data_rows(inp["data"])
+            changed = True
+        inputs.append(inp)
+    exp = case.get("expect")
+    if isinstance(exp, dict) and "data" in exp and "rows" not in exp:
+        exp = dict(exp)
+        exp["rows"] = _data_rows(exp["data"])
+        changed = True
+    if changed:
+        case = dict(case)
+        case["inputs"] = inputs
+        if exp is not None:
+            case["expect"] = exp
+    return case
+
+
 def load_cases(fname: str) -> list[dict]:
     with open(f"{CASES_DIR}/{fname}") as f:
         doc = yaml.safe_load(f)
     out = []
     for c in doc.get("cases", []):
-        out.extend(expand_case(c))
+        out.extend(_normalize_data(ec) for ec in expand_case(c))
     return out
