@@ -59,8 +59,10 @@ HEADLINE = [
     "sql_group_having",
     "sql_window_expr",
     # round 3: production-script shape (windowed sub-select LAST JOINed
-    # to a LAST JOIN chain) end-to-end through the SQL front end
+    # to a LAST JOIN chain) end-to-end through the SQL front end, and
+    # batch-request mode (request rows vs stored history) through it
     "sql_prod_pipeline",
+    "sql_batch_request",
     "embedding_near_dups_lsh",
     "multimodal_features",
 ]

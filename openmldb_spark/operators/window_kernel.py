@@ -611,7 +611,16 @@ def group_window_features(
                 # SumWhereDef :305-318; yaml test_window.yaml id 3)
                 vals = s
             elif f.startswith("avg"):
+                # AvgUdafDef outputs sum/cnt unconditionally (FDiv,
+                # default_udf_library.cc:253-259): empty/all-null frame
+                # = 0/0 = a REAL double NaN, never NULL (pinned by
+                # fz_ddl/test_myhug.yaml avg_75='nan' next to max=NULL).
+                # An explicit-mask FloatingArray carries NaN through
+                # Arrow (plain float64 NaN would be read as null).
                 vals = np.where(c > 0, s / np.maximum(c, 1), np.nan)
+                out[alias] = pd.arrays.FloatingArray(
+                    vals, np.zeros(len(vals), dtype=bool))
+                continue
             else:
                 vals = c
             out[alias] = vals
@@ -639,8 +648,14 @@ def group_window_features(
             vals = st.query(lo, hi)
             sv, ok = self_vals(col, cond)
             vals = np.where(ok, op(vals, np.where(np.isnan(sv), fill, sv)), vals)
-            vals = np.where(np.isinf(vals), np.nan, vals)
-            out[alias] = vals
+            # empty/all-null frame → NULL, never NaN: Min/MaxUdafDef's
+            # output flag stays unset when Update never ran (avg differs:
+            # 0/0 emits a double NaN — fz_ddl/test_myhug.yaml pins
+            # max=NULL vs avg=NaN over the same empty frame). Nullable
+            # Float64 keeps the NULL-vs-NaN distinction through Arrow.
+            res = pd.array(vals, dtype="Float64")
+            res[vals == fill] = pd.NA
+            out[alias] = res
         elif f == "first_value":
             # first_value = newest FRAME row (frame-bound, end-bound
             # exclusions apply — github.com/4paradigm/OpenMLDB#1587,
@@ -778,6 +793,13 @@ def group_window_features(
     if out_dtypes:
         for c, dt in out_dtypes.items():
             if c in out.columns:
+                if isinstance(out[c].dtype, pd.Float64Dtype):
+                    # NULL-carrying numeric (empty-frame min/max): cast
+                    # to the nullable counterpart so NA survives the
+                    # astype (plain float64 would fold NA back to NaN)
+                    d = str(dt)
+                    if d.startswith(("int", "float")):
+                        dt = d.capitalize()
                 try:
                     out[c] = out[c].astype(dt)
                 except (TypeError, ValueError):

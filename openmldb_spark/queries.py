@@ -1340,6 +1340,57 @@ LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
 
 
+def q_sql_batch_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-request mode through the SQL front door (run_sql_request —
+    BatchRequestEngineTestRunner semantics, engine_test_base.h:294-380):
+    request rows (one anchor turn per conversation) compute point-in-time
+    features over STORED history + themselves, never over each other; a
+    LAST JOINed second sub-select aligns per request row id, exercising
+    the rid threading that fz_ddl/test_myhug.yaml pins."""
+    from openmldb_spark.sqlfe import run_sql_request
+
+    t = transcripts_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "ts_ms", "value")
+    req = t.where(F.col("turn_idx") == 40)
+    hist = t.where(F.col("turn_idx") != 40)
+    sql = f"""
+    select * from
+    (select conv_id, turn_idx,
+            round(sum(value) over w, 3) as sum_v,
+            count(value) over w as cnt_v,
+            min(value) over w as min_v
+     from t
+     window w as (partition by conv_id order by ts_ms
+                  rows_range between {MIN_30} preceding
+                  and 0 preceding)) as out0
+    last join
+    (select conv_id as conv_id_r, value * 2 as dbl_v from t) as out1
+    on out0.conv_id = out1.conv_id_r;
+    """
+    out = run_sql_request(spark, sql, {"t": hist}, req, "t")
+    return out.select("conv_id", "turn_idx", "sum_v", "cnt_v",
+                      "min_v", "dbl_v")
+
+
+SQL_SQL_BATCH_REQUEST = transcripts_sql(f"""
+, req AS (SELECT * FROM transcripts WHERE turn_idx = 40)
+SELECT r.conv_id, r.turn_idx,
+       ROUND(COALESCE(SUM(h.value), 0) + COALESCE(r.value, 0), 3) AS sum_v,
+       CAST(COUNT(h.value)
+            + CASE WHEN r.value IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS cnt_v,
+       CASE WHEN MIN(h.value) IS NULL THEN r.value
+            WHEN r.value IS NULL THEN MIN(h.value)
+            WHEN MIN(h.value) < r.value THEN MIN(h.value)
+            ELSE r.value END AS min_v,
+       r.value * 2 AS dbl_v
+FROM req r LEFT JOIN transcripts h
+  ON h.conv_id = r.conv_id AND h.turn_idx <> 40
+ AND h.ts_ms <= r.ts_ms AND h.ts_ms >= r.ts_ms - {MIN_30}
+GROUP BY r.conv_id, r.turn_idx, r.value
+""")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1374,6 +1425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_group_having": q_sql_group_having,
     "sql_window_expr": q_sql_window_expr,
     "sql_prod_pipeline": q_sql_prod_pipeline,
+    "sql_batch_request": q_sql_batch_request,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1418,6 +1470,7 @@ ORACLES: dict[str, str] = {
     "sql_group_having": SQL_SQL_GROUP_HAVING,
     "sql_window_expr": SQL_SQL_WINDOW_EXPR,
     "sql_prod_pipeline": SQL_SQL_PROD_PIPELINE,
+    "sql_batch_request": SQL_SQL_BATCH_REQUEST,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,

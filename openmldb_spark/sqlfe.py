@@ -332,7 +332,38 @@ _SQL_FN: dict = {
                        f"THEN double('NaN') ELSE asin({a}) END)"),
     "acos": lambda a: (f"(CASE WHEN abs(try_cast({a} as double)) > 1 "
                        f"THEN double('NaN') ELSE acos({a}) END)"),
+    # libm log family: log(0) = -inf, log(<0) = NaN (Spark returns NULL
+    # for both); boolean operands are C-truthy 1/0 (udf.cc LogFp,
+    # cases/function/function/test_calculate.yaml id 4 pins
+    # log(false) = -Infinity)
+    "log": lambda *a: _log_tpl("log", *a),
+    "ln": lambda a: _log_tpl("ln", a),
+    "log2": lambda a: _log_tpl("log2", a),
+    "log10": lambda a: _log_tpl("log10", a),
 }
+
+
+def _numf(a: str) -> str:
+    """Render any operand as a double: boolean → 1/0 (C truthiness), the
+    rest via a string round-trip so every CASE branch analyzes for every
+    input type (same trick as the `timestamp` template above)."""
+    return (f"(CASE WHEN typeof({a}) = 'boolean' THEN "
+            f"IF(cast({a} as string) = 'true', 1.0D, 0.0D) "
+            f"ELSE try_cast(cast({a} as string) as double) END)")
+
+
+def _log_tpl(fn: str, *args) -> str:
+    if fn == "log" and len(args) == 2:
+        b, x = _numf(args[0]), _numf(args[1])
+        return (f"(CASE WHEN {x} = 0.0D THEN double('-Infinity') "
+                f"WHEN {x} < 0.0D THEN double('NaN') "
+                f"ELSE log({b}, {x}) END)")
+    inner = {"log": "ln", "ln": "ln", "log2": "log2",
+             "log10": "log10"}[fn]
+    x = _numf(args[0])
+    return (f"(CASE WHEN {x} = 0.0D THEN double('-Infinity') "
+            f"WHEN {x} < 0.0D THEN double('NaN') "
+            f"ELSE {inner}({x}) END)")
 
 
 def _local_ts(a: str) -> str:
@@ -907,11 +938,14 @@ def canonicalize_tables(sql: str, tables) -> tuple[str, list]:
     for _ in range(len(ordered) + 1):
         before = sql
         for i, (name, _) in enumerate(ordered):
-            if re.search(rf"\bas\s+{re.escape(name)}\b", sql,
-                         re.IGNORECASE):
+            if re.search(
+                    rf"(?:\{{\d+\}}|\)|(?:\bfrom|\bjoin)\s+\w+)"
+                    rf"\s+as\s+{re.escape(name)}\b", sql, re.IGNORECASE):
                 # the table name is shadowed by a subquery/table alias
                 # (e.g. `(select ...) as t1 ... t1.c2`): leave dotted
-                # refs for the alias resolver
+                # refs for the alias resolver. Only TABLE-alias positions
+                # count — a projection column alias (`'' as action`,
+                # fz_ddl/test_bank.yaml) must not shadow the table.
                 continue
             sql = re.sub(rf"\b{re.escape(name)}\s*\.", f"{{{i}}}.", sql)
             sql = re.sub(rf"(\bFROM\s+){re.escape(name)}\b", rf"\g<1>{{{i}}}",
@@ -1154,6 +1188,187 @@ def run_sql(spark, sql: str, tables, params=None):
         return _dispatch_sql(spark, *attempts[-1])
 
 
+def run_sql_request(spark, sql: str, tables, request, name: str):
+    """Batch-request mode: compute each REQUEST row's point-in-time
+    features against the STORED tables only — request rows never see
+    each other (the reference's BatchRequestEngineTestRunner,
+    hybridse/src/testing/engine_test_base.h:294-380: stored inputs are
+    loaded with ``repeat`` expansion, request rows are NOT inserted, and
+    each request row runs the plan over stored state plus itself).
+
+    Spark-first lowering, no new kernel semantics: the request rows
+    become the PRIMARY table, and the stored rows of ``name`` join every
+    window definition as an extra WINDOW UNION table with
+    INSTANCE_NOT_IN_WINDOW forced — union rows buffer, fellow primary
+    (request) rows don't, the anchor still enters its own frame
+    (operators/request.py does the same for the programmatic API).
+    Joins read the stored side untouched. Windows over tables other than
+    the request table are not meaningful in request mode (OpenMLDB
+    windows always anchor on the request/primary), so every window body
+    gets the union.
+    """
+    if not isinstance(tables, dict):
+        raise SqlUnsupported("run_sql_request requires named tables")
+    hist = tables[name]
+    sql = _strip_backticks(sql)
+    masked = _mask_strings(sql)
+    if re.search(rf"\bjoin\s+{re.escape(name)}\b", masked, re.IGNORECASE):
+        raise SqlUnsupported(
+            f"request table {name!r} on a JOIN right side: the stored "
+            f"rows apply there — register them under a distinct name")
+    out, pos = [], 0
+    for m in re.finditer(r"(?is)(?:\b\w+\s+as|\bover)\s*\(", masked):
+        start = m.end() - 1
+        if start < pos:
+            continue
+        head = masked[start + 1:start + 32].lstrip().lower()
+        # a window body starts with UNION or PARTITION; `(select...) as t`
+        # and scalar parens don't
+        if not (head.startswith("union") or head.startswith("partition")):
+            continue
+        end = _match_paren(sql, start)
+        body = sql[start + 1:end].strip()
+        if re.search(r"(?i)instance_not_in_window", body):
+            # primary rows never buffer in this window: its frames are
+            # exactly its declared union tables + the anchor, in stored
+            # mode and in request mode alike (fz_ddl/test_myhug.yaml's
+            # bo_hislabel window) — injecting stored primary history
+            # would wrongly buffer it
+            continue
+        if re.match(r"(?i)union\b", body):
+            body = re.sub(r"(?i)^union\s+", "UNION __req_hist__, ", body)
+        else:
+            body = "UNION __req_hist__ " + body
+        body += " INSTANCE_NOT_IN_WINDOW"
+        out += [sql[pos:start + 1], body]
+        pos = end
+    out.append(sql[pos:])
+    sql = "".join(out)
+    # thread the per-request row id: in request mode every sub-select
+    # emits exactly one row PER REQUEST ROW, and joins between
+    # request-derived sub-selects align by request identity — not by the
+    # user join keys, which may collide across request rows (myhug's two
+    # reqId2 requests must each join THEIR OWN out2 feature row)
+    sql, _ = _rid_thread_stmt(sql, name, False, is_top=True)
+    import pyspark.sql.functions as F
+    req = request.withColumn(
+        _REQ_RID, F.monotonically_increasing_id()).localCheckpoint(
+        eager=True)
+    new_tables = dict(tables)
+    new_tables[name] = req
+    new_tables["__req_hist__"] = hist.withColumn(
+        _REQ_RID, F.lit(None).cast("long"))
+    res = run_sql(spark, sql, new_tables)
+    drop = [c for c in res.columns if _REQ_RID in c]
+    return res.drop(*drop) if drop else res
+
+
+_REQ_RID = "__req_rid"
+
+
+def _depth0_finditer(masked: str, pattern: str):
+    """Matches of `pattern` at paren depth 0 of a string-masked text."""
+    spans = []
+    for m in re.finditer(pattern, masked):
+        d = masked.count("(", 0, m.start()) - masked.count(")", 0, m.start())
+        if d == 0:
+            spans.append(m)
+    return spans
+
+
+def _rid_thread_stmt(stmt: str, name: str, in_union: bool,
+                     is_top: bool = False):
+    """Recursive half of run_sql_request's row-id threading. Returns
+    (rewritten stmt, is-request-derived). A statement is request-derived
+    when its FROM source is the request table (directly or through a
+    nested sub-select); such statements emit ``__req_rid`` as an extra
+    projection item. WINDOW UNION sub-selects over stored tables emit a
+    NULL rid instead (the strict union-schema check needs the column;
+    union rows never surface). Top-level LAST JOINs between derived
+    sub-selects get an extra ``rid = rid`` equi-condition."""
+    masked = _mask_strings(stmt)
+    pieces, pos = [], 0
+    alias_derived: dict[str, bool] = {}
+    from_sub_derived = None
+    for m in re.finditer(r"\(\s*select\b", masked, re.IGNORECASE):
+        start = m.start()
+        if start < pos:
+            continue
+        end = _match_paren(stmt, start)
+        before = masked[:start]
+        is_union_ctx = bool(re.search(r"(?is)union\s*$", before))
+        is_from_ctx = bool(re.search(r"(?is)\bfrom\s*$", before))
+        inner, derived = _rid_thread_stmt(
+            stmt[start + 1:end], name, is_union_ctx)
+        am = re.match(r"\s*as\s+(\w+)", stmt[end + 1:], re.IGNORECASE)
+        if am:
+            alias_derived[am.group(1)] = derived
+        if is_from_ctx:
+            from_sub_derived = derived
+        pieces += [stmt[pos:start + 1], inner]
+        pos = end
+    pieces.append(stmt[pos:])
+    stmt = "".join(pieces)
+    masked = _mask_strings(stmt)
+
+    froms = _depth0_finditer(masked, r"(?i)\bfrom\b")
+    if not froms:
+        return stmt, False
+    from_pos = froms[0].start()
+    after_from = masked[froms[0].end():].lstrip()
+    derived = from_sub_derived if after_from.startswith("(") else \
+        bool(re.match(rf"(?i){re.escape(name)}\b", after_from))
+
+    # augment top-level LAST JOIN conditions with rid equality
+    joins = _depth0_finditer(masked, r"(?i)\bas\s+(\w+)\s+on\b")
+    root_alias = None
+    if after_from.startswith("("):
+        paren = stmt.index("(", froms[0].end())
+        root_m = re.match(r"\s*as\s+(\w+)",
+                          stmt[_match_paren(stmt, paren) + 1:],
+                          re.IGNORECASE)
+        root_alias = root_m.group(1) if root_m else None
+    if root_alias and alias_derived.get(root_alias):
+        inserts = []
+        bounds = _depth0_finditer(
+            masked, r"(?i)\b(last\s+join|window|limit)\b|;")
+        for jm in joins:
+            alias = jm.group(1)
+            if alias == root_alias or not alias_derived.get(alias):
+                continue
+            end_pos = len(stmt.rstrip().rstrip(";"))
+            for bm in bounds:
+                if bm.start() > jm.end():
+                    end_pos = bm.start()
+                    break
+            inserts.append(
+                (end_pos,
+                 f" and {root_alias}.{_REQ_RID} = {alias}.{_REQ_RID} "))
+        for p, txt in sorted(inserts, reverse=True):
+            stmt = stmt[:p] + txt + stmt[p:]
+        masked = _mask_strings(stmt)
+        froms = _depth0_finditer(masked, r"(?i)\bfrom\b")
+        from_pos = froms[0].start()
+
+    # append the rid projection item
+    pm = re.match(r"(?is)\s*select\s+", stmt)
+    if not pm:
+        return stmt, derived
+    proj = stmt[pm.end():from_pos].strip()
+    if derived and proj != "*" and not is_top:
+        # only sub-selects emit the rid (parents join on it); the
+        # top-level projection is user-facing output
+        has_lj = bool(_depth0_finditer(masked, r"(?i)\blast\s+join\b"))
+        qual = f"{name}." if (has_lj and not after_from.startswith("(")) \
+            else ""
+        item = f", {qual}{_REQ_RID} as {_REQ_RID} "
+        stmt = stmt[:from_pos] + item + stmt[from_pos:]
+    elif in_union and not derived:
+        stmt = (stmt[:from_pos] +
+                f", cast(null as bigint) as {_REQ_RID} " + stmt[from_pos:])
+    return stmt, derived
+
+
 def _ms_tables(tables: list) -> list:
     """C-style operand views for the coercion retry: timestamps as int64
     ms, booleans as ints (the reference's arithmetic treats both so —
@@ -1276,14 +1491,19 @@ def _run_lastjoin_window_sql(sql: str, tables: list, limit: int | None = None):
     rcols = ", ".join(f"{{1}}.{c} as __r2_{c}" for c in right.columns)
     join_sql = (f"select {lcols}, {rcols} from {{0}} last join {{1}}"
                 f"{ord_txt} on {m.group('cond')} ;")
-    joined = _run_lastjoin_sql(join_sql, tables)
-    for c in right.columns:
-        joined = joined.withColumnRenamed(f"__r2_{c}", f"r__{c}")
-    # bare references resolve left-first; expose non-colliding right
-    # columns under their bare names too (e.g. `str1 as t2_str1`)
-    for c in right.columns:
-        if c not in left.columns:
-            joined = joined.withColumn(c, F.col(f"r__{c}"))
+
+    def run_join(left_df):
+        j = _run_lastjoin_sql(join_sql, [left_df, right])
+        for c in right.columns:
+            j = j.withColumnRenamed(f"__r2_{c}", f"r__{c}")
+        # bare references resolve left-first; expose non-colliding right
+        # columns under their bare names too (e.g. `str1 as t2_str1`)
+        for c in right.columns:
+            if c not in left.columns:
+                j = j.withColumn(c, F.col(f"r__{c}"))
+        return j
+
+    joined = run_join(left)
 
     # window part over the joined table: {1}.col → r__col, {0}.col → col;
     # bare `{1}.c4` projections keep their user-facing name `c4`
@@ -1295,7 +1515,27 @@ def _run_lastjoin_window_sql(sql: str, tables: list, limit: int | None = None):
     win_sql = ("SELECT " + ", ".join(items) + " FROM {0} "
                + m.group("windows"))
     win_sql = re.sub(r"\{1\}\.(\w+)", r"{0}.r__\1", win_sql)
-    return _run_window_sql(win_sql, [joined], limit=limit)
+    # WINDOW UNION tables in a join+window statement are LEFT-shaped and
+    # flow through the SAME join before buffering (the reference pushes
+    # the join below the request union — batch-request over a joined
+    # primary needs history rows to carry the joined right columns:
+    # test_batch_request.yaml ids 2-5 aggregate {1} columns over frames
+    # of stored rows). Re-run the join per union table and remap refs.
+    win_tables = [joined]
+    union_ks = sorted({
+        int(tok)
+        for um in re.findall(r"UNION\s+((?:\{\d+\}\s*,?\s*)+)",
+                             win_sql, re.IGNORECASE)
+        for tok in re.findall(r"\{(\d+)\}", um)})
+    for k in union_ks:
+        if k < 2:
+            raise SqlUnsupported("WINDOW UNION over a join operand")
+        win_tables.append(run_join(tables[k]))
+        win_sql = re.sub(
+            rf"(UNION\s+(?:\{{\d+\}}\s*,\s*)*)\{{{k}\}}",
+            rf"\g<1>{{{len(win_tables) - 1}}}", win_sql,
+            flags=re.IGNORECASE)
+    return _run_window_sql(win_sql, win_tables, limit=limit)
 
 
 _RID = "__sql_rid"

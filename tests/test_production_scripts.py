@@ -99,3 +99,82 @@ def test_production_script(spark, fname):
     # schema width sanity: every select-list alias materializes
     assert len(pdf.columns) == len(set(pdf.columns)) or fname in (
         "test_jd.yaml", "test_credit.yaml"), fname
+
+
+# FeatureZero production scripts (cases/function/fz_ddl): stored tables
+# (with `repeat` expansion) plus a `batch_request` row table — the
+# reference runs them through BatchRequestEngineTestRunner
+# (hybridse/src/testing/engine_test_base.h:294-380): each request row
+# computes point-in-time features over stored state + itself, request
+# rows never see each other. test_luoji/test_myhug carry literal
+# expected rows (full value check); test_bank is success-mode only.
+FZ_DDL = "/root/reference/cases/function/fz_ddl"
+FZ_SCRIPTS = ["test_bank.yaml", "test_luoji.yaml", "test_myhug.yaml"]
+
+
+def _fz_mkdf(spark, inp):
+    rows = (inp.get("rows") or []) * int(inp.get("repeat", 1))
+    return _mkdf(spark, dict(inp, rows=rows))
+
+
+def _tokenize(val, typ):
+    """Normalize a cell to a comparable token (floats rounded, NaN
+    folded, timestamps as epoch ms)."""
+    import math
+    import pandas as pd
+    if val is None or (isinstance(val, float) and math.isnan(val)
+                       and typ not in ("float", "double")):
+        return "<null>"
+    if typ in ("float", "double"):
+        if isinstance(val, str):          # corpus writes NaN as 'nan'
+            val = float(val)
+        if pd.isna(val):
+            return "<nan>"
+        return f"{float(val):.6g}"
+    if typ == "timestamp":
+        if isinstance(val, (int, float)):
+            return str(int(val))
+        return str(int(pd.Timestamp(val).value // 10**6))
+    if pd.isna(val):
+        return "<null>"
+    if typ in ("int", "int32", "smallint", "int16", "bigint", "int64"):
+        return str(int(val))
+    return str(val)
+
+
+@pytest.mark.parametrize("fname", FZ_SCRIPTS)
+def test_fz_ddl_script(spark, fname):
+    from openmldb_spark.sqlfe import run_sql_request
+
+    with open(os.path.join(FZ_DDL, fname)) as f:
+        case = yaml.safe_load(f)["cases"][0]
+    tables = {i["name"]: _fz_mkdf(spark, i) for i in case["inputs"]}
+    prim = case["inputs"][0]["name"]
+    request = _mkdf(spark, case["batch_request"])
+
+    out = run_sql_request(spark, case["sql"], tables, request, prim)
+    # collect() (not toPandas): Row objects keep NULL vs NaN distinct
+    # in double columns — the reference pins max=NULL next to avg=NaN
+    # over the same empty frame
+    rows = out.collect()
+    assert len(rows) == len(case["batch_request"]["rows"]), (
+        fname, len(rows))
+    cols = out.columns
+    assert not [c for c in cols if c.startswith("__")], cols
+    assert len(cols) == len(set(cols)), fname
+
+    exp = case["expect"]
+    if "rows" not in exp:
+        assert exp.get("success") is True
+        return
+    # full value check against the reference's literal expected rows
+    schema = [c.strip().rsplit(":", 1)
+              for c in exp["schema"].replace("\n", " ").split(",")]
+    names = [n.strip() for n, _ in schema]
+    types = [t.strip().lower() for _, t in schema]
+    assert list(cols) == names, (fname, list(cols), names)
+    got = sorted(tuple(_tokenize(v, t) for v, t in zip(r, types))
+                 for r in rows)
+    want = sorted(tuple(_tokenize(v, t) for v, t in zip(r, types))
+                  for r in exp["rows"])
+    assert got == want, (fname, got, want)
