@@ -588,7 +588,11 @@ def compile_window_clause(body: str) -> tuple[WindowSpec, list[int]]:
     union_idx = []
     if wm.group("union"):
         for tok in wm.group("union").split(","):
-            um = re.fullmatch(r"\{(\d+)\}", tok.strip())
+            # an optional table alias is legal and unused — window refs
+            # are by column (cluster/test_window_row.yaml id 1
+            # `UNION t2 as t2mirror`)
+            um = re.fullmatch(r"\{(\d+)\}(?:\s+as\s+\w+)?", tok.strip(),
+                              re.IGNORECASE)
             if not um:
                 raise SqlUnsupported(f"UNION target {tok.strip()!r}")
             union_idx.append(int(um.group(1)))
@@ -1420,6 +1424,9 @@ def _dispatch_sql(spark, sql: str, tables):
     if has_lj and has_win:
         return _run_lastjoin_window_sql(sql, tables, limit=limit)
     if has_lj:
+        if re.search(r"\bgroup\s+by\b", _mask_strings(sql), re.IGNORECASE):
+            return _run_lastjoin_groupby_sql(spark, sql, tables,
+                                             limit=limit)
         return _run_lastjoin_sql(sql, tables, limit=limit)
     return _run_window_sql(sql, tables, limit=limit)
 
@@ -1475,6 +1482,22 @@ def _run_lastjoin_window_sql(sql: str, tables: list, limit: int | None = None):
 
     if len(re.findall(r"last\s+join", sql, re.IGNORECASE)) > 1:
         raise SqlUnsupported("multi-table LAST JOIN chain + WINDOW")
+    # normalize an aliased right side — `last join {k} as t1 ... t1.c4`
+    # (an inlined sub-select, test_lastjoin_complex.yaml id 4) — to
+    # positional refs, then swap the right table into slot 1
+    am = re.search(r"(last\s+join\s+\{(\d+)\})\s+as\s+(\w+)", sql,
+                   re.IGNORECASE)
+    if am:
+        k, alias = am.group(2), am.group(3)
+        sql = sql[:am.start()] + am.group(1) + sql[am.end():]
+        sql = re.sub(rf"\b{re.escape(alias)}\s*\.", f"{{{k}}}.", sql)
+    rm = re.search(r"last\s+join\s+\{(\d+)\}", sql, re.IGNORECASE)
+    ridx = int(rm.group(1)) if rm else 1
+    if ridx != 1:
+        sql = (sql.replace("{1}", "\x00")
+               .replace(f"{{{ridx}}}", "{1}").replace("\x00", f"{{{ridx}}}"))
+        tables = list(tables)
+        tables[1], tables[ridx] = tables[ridx], tables[1]
     m = re.match(
         r"^\s*select\s+(?P<proj>.*?)\s+from\s+\{0\}\s+last\s+join\s+\{1\}\s*"
         r"(?:order\s+by\s+\{1\}\.(?P<ord>\w+)\s+)?on\s+(?P<cond>.*?)"
@@ -1515,12 +1538,16 @@ def _run_lastjoin_window_sql(sql: str, tables: list, limit: int | None = None):
     win_sql = ("SELECT " + ", ".join(items) + " FROM {0} "
                + m.group("windows"))
     win_sql = re.sub(r"\{1\}\.(\w+)", r"{0}.r__\1", win_sql)
-    # WINDOW UNION tables in a join+window statement are LEFT-shaped and
-    # flow through the SAME join before buffering (the reference pushes
-    # the join below the request union — batch-request over a joined
-    # primary needs history rows to carry the joined right columns:
-    # test_batch_request.yaml ids 2-5 aggregate {1} columns over frames
-    # of stored rows). Re-run the join per union table and remap refs.
+    # WINDOW UNION tables in a join+window statement come in two shapes:
+    # (a) the reference's own — already POST-JOIN shaped (left + right
+    #     columns: union schema must match the joined primary,
+    #     test_lastjoin_complex.yaml ids 2-3) — renamed into the joined
+    #     naming and used directly;
+    # (b) LEFT-shaped history injected by run_sql_request — flows
+    #     through the SAME join before buffering (the reference pushes
+    #     the join below the request union: batch-request over a joined
+    #     primary needs history rows to carry the joined right columns,
+    #     test_batch_request.yaml ids 2-5).
     win_tables = [joined]
     union_ks = sorted({
         int(tok)
@@ -1530,7 +1557,19 @@ def _run_lastjoin_window_sql(sql: str, tables: list, limit: int | None = None):
     for k in union_ks:
         if k < 2:
             raise SqlUnsupported("WINDOW UNION over a join operand")
-        win_tables.append(run_join(tables[k]))
+        u = tables[k]
+        if list(u.columns) == list(left.columns):
+            win_tables.append(run_join(u))
+        elif list(u.columns) == list(left.columns) + list(right.columns):
+            sel = [F.col(c) for c in left.columns]
+            sel += [F.col(c).alias(f"r__{c}") for c in right.columns]
+            sel += [F.col(c) for c in right.columns
+                    if c not in left.columns]
+            win_tables.append(u.select(*sel))
+        else:
+            raise SqlUnsupported(
+                f"WINDOW UNION schema {list(u.columns)} matches neither "
+                f"the join's left side nor its joined output")
         win_sql = re.sub(
             rf"(UNION\s+(?:\{{\d+\}}\s*,\s*)*)\{{{k}\}}",
             rf"\g<1>{{{len(win_tables) - 1}}}", win_sql,
@@ -1614,6 +1653,40 @@ def _run_window_sql(sql: str, tables: list, limit: int | None = None):
         # order (the reference iterates storage order)
         merged = merged.orderBy(F.col(_RID)).limit(limit)
     return merged.select(*final_cols)
+
+
+def _run_lastjoin_groupby_sql(spark, sql: str, tables: list,
+                              limit: int | None = None):
+    """LAST JOIN followed by GROUP BY (test_lastjoin_complex.yaml ids
+    22-24): run the join keeping every column, then the aggregation over
+    the joined table through the plain-SQL path — the reference stacks
+    GroupByAggregationPlan on JoinPlan the same way."""
+    if len(re.findall(r"last\s+join", _mask_strings(sql),
+                      re.IGNORECASE)) > 1:
+        raise SqlUnsupported("multi-table LAST JOIN chain + GROUP BY")
+    m = re.match(
+        r"^\s*select\s+(?P<proj>.*?)\s+from\s+\{0\}\s+last\s+join\s+\{1\}\s*"
+        r"(?:order\s+by\s+\{1\}\.(?P<ord>\w+)\s+)?on\s+(?P<cond>.*?)"
+        r"\s+group\s+by\s+(?P<tail>.*?)\s*;?\s*$",
+        sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise SqlUnsupported("LAST JOIN + GROUP BY shape")
+    left, right = tables[0], tables[1]
+    ord_txt = f" ORDER BY {{1}}.{m.group('ord')}" if m.group("ord") else ""
+    lcols = ", ".join(f"{{0}}.{c}" for c in left.columns)
+    rcols = ", ".join(f"{{1}}.{c} as __r2_{c}" for c in right.columns)
+    join_sql = (f"select {lcols}, {rcols} from {{0}} last join {{1}}"
+                f"{ord_txt} on {m.group('cond')} ;")
+    joined = _run_lastjoin_sql(join_sql, [left, right])
+    import pyspark.sql.functions as F
+    for c in right.columns:
+        joined = joined.withColumnRenamed(f"__r2_{c}", f"r__{c}")
+    body = (f"select {m.group('proj')} from {{0}} "
+            f"group by {m.group('tail')}")
+    body = re.sub(r"\{1\}\.(\w+)", r"r__\1", body)
+    body = re.sub(r"\{0\}\.(\w+)", r"\1", body)
+    out = _run_plain_sql(spark, body, [joined])
+    return out.limit(limit) if limit is not None else out
 
 
 def _run_lastjoin_sql(sql: str, tables: list, limit: int | None = None):

@@ -37,6 +37,11 @@ FILES = [
     "test_feature_zero_function.yaml",
     "test_fz_sql.yaml",
     "test_index_optimized.yaml",
+    # round 3 additions: the remaining batch-relevant corpora
+    "cluster/test_cluster_batch.yaml",
+    "cluster/test_window_row.yaml",
+    "cluster/test_window_row_range.yaml",
+    "join/test_lastjoin_complex.yaml",
 ]
 
 
@@ -61,6 +66,12 @@ def _excluded(case) -> str | None:
     mode = str(case.get("mode") or "")
     if "batch-unsupport" in mode or "offline-unsupport" in mode:
         return "marked batch-unsupported"
+    if any("TODO" in str(t) for t in case.get("tags") or []):
+        # the reference harness skips TODO-tagged cases (SqlCase tags_);
+        # their expect rows are aspirational, not pinned behavior
+        # (e.g. test_lastjoin_complex ids 2-3: "lastjoin window + union
+        # coexistence not yet supported")
+        return "reference-skipped (TODO tag)"
     if case.get("expect", {}).get("success") is False:
         return "negative case (rejection sweep covers the query surface)"
     if "%%fun" in str(case.get("sql", "")):
@@ -98,7 +109,10 @@ def test_minimum_extra_corpus_coverage(spark):
                 fails.append((f, case.get("id"),
                               type(e).__name__ + " " + str(e)[:90]))
     assert not fails, fails
-    # recorded run: 37 ok / 0 fail / 0 skip (every non-excluded case
-    # fully value-checked)
-    assert ok >= 37, f"only {ok} extra-corpus cases passed"
-    assert not skips, skips
+    # recorded run (r3, after adding the cluster + lastjoin_complex
+    # corpora): 66 ok / 0 fail / 3 classified skips — the only allowed
+    # skip class is success-only cases with no literal expected rows
+    assert ok >= 66, f"only {ok} extra-corpus cases passed"
+    leftover = [s for s in skips if "no literal expect" not in s[2]]
+    assert not leftover, leftover
+    assert len(skips) <= 3, skips

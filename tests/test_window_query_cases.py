@@ -104,6 +104,9 @@ def _mk_named_df(spark, inp):
         rows = [[_ms_to_dt(v) if t == "timestamp" and isinstance(v, int)
                  else _parse_date(v) if t == "date"
                  else v for v, (_, t) in zip(r, cols)] for r in rows]
+        # `repeat: N` replicates the input rows N× (SqlCase repeat_,
+        # cluster/test_window_row.yaml id 5: 1 row × 400)
+        rows = rows * int(inp.get("repeat", 1))
         return inp.get("name", "t1"), spark.createDataFrame(rows, schema)
     if "schema" not in inp or "data" not in inp:
         raise Unsupported("input without schema/data")

@@ -54,6 +54,9 @@ def _build_pdf(inp: dict) -> tuple[pd.DataFrame, dict]:
     rows = inp.get("rows")
     if rows is None:
         raise Unsupported("no literal rows")
+    # `repeat: N` replicates the input rows N× (SqlCase repeat_,
+    # cluster/test_window_row.yaml id 5: 1 row × 400)
+    rows = list(rows) * int(inp.get("repeat", 1))
     pdf = pd.DataFrame(rows, columns=names)
     for n in names:
         t = types[n]
