@@ -1151,7 +1151,66 @@ def _boolify_sql(sql: str) -> str:
     return sql
 
 
-def run_sql(spark, sql: str, tables, params=None):
+def resolve_databases(sql: str, tables: dict, default_db: str | None):
+    """OpenMLDB multi-database name resolution (cases/function/
+    multiple_databases): tables register under dotted ``db.name`` keys;
+    SQL references ``db.name`` or a bare ``name`` (resolved in the
+    default database). Unknown databases and bare names that don't live
+    in the default database raise SqlUnsupported — the reference's
+    catalog rejects both (ids 2-3). Returns (sql, flat name→df dict)."""
+    flat, mapping = {}, {}
+    for key, df in tables.items():
+        if "." in key:
+            db, name = key.split(".", 1)
+            mapping[(db, name)] = f"__db_{db}__{name}"
+            flat[mapping[(db, name)]] = df
+        else:
+            flat[key] = df
+    # qualified refs db.name / db.name.col → flat alias
+    for (db, name), alias in mapping.items():
+        sql = re.sub(rf"\b{re.escape(db)}\s*\.\s*{re.escape(name)}\b",
+                     alias, sql)
+    names = {n for (_, n) in mapping}
+    if default_db:
+        # qualifying ANY name (incl. a sub-query alias) with the default
+        # database is legal and a no-op (multiple_databases ids 7, 9);
+        # other database prefixes on non-catalog names flow through and
+        # fail resolution (id 8). Runs before the unknown-db check so a
+        # default-db-qualified sub-query alias that shadows a catalog
+        # name still resolves to the alias.
+        sql = re.sub(rf"\b{re.escape(default_db)}\s*\.\s*(\w+)", r"\1",
+                     sql)
+    # a leftover qualified ref to a known table name = unknown database
+    for m in re.finditer(r"\b(\w+)\s*\.\s*(\w+)\b", _mask_strings(sql)):
+        db, name = m.group(1), m.group(2)
+        if name in names and not db.startswith("__db_"):
+            raise SqlUnsupported(
+                f"unknown database {db!r} for table {name!r}")
+    # bare refs resolve in the default database only (table positions +
+    # dotted column refs)
+    for name in names:
+        n = re.escape(name)
+        if not re.search(rf"(?:\bfrom\s+|\bjoin\s+|\bunion\s+){n}\b"
+                         rf"|\b{n}\s*\.", sql, re.IGNORECASE):
+            continue
+        if re.search(rf"\)\s*as\s+{n}\b", sql, re.IGNORECASE):
+            # a sub-query alias shadows the catalog name (id 9:
+            # `(select * from db1.t0) as t1 ... t1.c1`)
+            continue
+        alias = mapping.get((default_db or "", name))
+        if alias is None:
+            if name in flat:      # also registered as a plain table
+                continue
+            raise SqlUnsupported(
+                f"table {name!r} not in default database "
+                f"{default_db!r} (reference: fail to resolve)")
+        sql = re.sub(rf"((?:\bfrom|\bjoin|\bunion)\s+){n}\b",
+                     rf"\g<1>{alias}", sql, flags=re.IGNORECASE)
+        sql = re.sub(rf"\b{n}\s*\.", f"{alias}.", sql)
+    return sql, flat
+
+
+def run_sql(spark, sql: str, tables, params=None, default_db=None):
     """Execute a supported OpenMLDB SQL query over DataFrames — either a
     positional list (``{0}`` refs) or a {name: df} dict (named tables).
     ``params`` binds ``?`` placeholders in order.
@@ -1163,6 +1222,9 @@ def run_sql(spark, sql: str, tables, params=None):
     if params is not None:
         sql = bind_params(sql, list(params))
     sql = _strip_backticks(sql)
+    if isinstance(tables, dict) and (
+            default_db or any("." in k for k in tables)):
+        sql, tables = resolve_databases(sql, tables, default_db)
     sql, tables = canonicalize_tables(sql, tables)
     try:
         return _dispatch_sql(spark, sql, tables)
