@@ -247,16 +247,30 @@ def _try_cast(a: str, typ: str) -> str:
     return f"try_cast({a} as {typ})"
 
 
+def _num_cast(a: str, typ: str) -> str:
+    """Numeric function-cast with OpenMLDB's timestamp semantics: a
+    TIMESTAMP operand converts to its epoch-millisecond count
+    (Timestamp.ts_ is int64 ms; ``bigint(std_ts)`` in
+    cases/usecase/autox.yaml pins it), while Spark's cast yields epoch
+    SECONDS. typeof-dispatch so non-timestamp operands keep the plain
+    try_cast; the unused branch routes via a string cast so it analyzes
+    for every input type."""
+    ms = f"unix_millis(try_cast(cast({a} as string) as timestamp))"
+    return (f"(CASE WHEN typeof({a}) = 'timestamp' "
+            f"THEN try_cast({ms} as {typ}) "
+            f"ELSE try_cast({a} as {typ}) END)")
+
+
 _SQL_FN: dict = {
     "bool": lambda a: f"boolean({a})",
-    "int16": lambda a: _try_cast(a, "smallint"),
-    "int32": lambda a: _try_cast(a, "int"),
-    "int64": lambda a: _try_cast(a, "bigint"),
-    "int": lambda a: _try_cast(a, "int"),
-    "bigint": lambda a: _try_cast(a, "bigint"),
-    "smallint": lambda a: _try_cast(a, "smallint"),
-    "float": lambda a: _try_cast(a, "float"),
-    "double": lambda a: _try_cast(a, "double"),
+    "int16": lambda a: _num_cast(a, "smallint"),
+    "int32": lambda a: _num_cast(a, "int"),
+    "int64": lambda a: _num_cast(a, "bigint"),
+    "int": lambda a: _num_cast(a, "int"),
+    "bigint": lambda a: _num_cast(a, "bigint"),
+    "smallint": lambda a: _num_cast(a, "smallint"),
+    "float": lambda a: _num_cast(a, "float"),
+    "double": lambda a: _num_cast(a, "double"),
     "string": lambda a: _str8(a),
     "concat": lambda *a: f"concat({', '.join(_str8(x) for x in a)})",
     # concat_ws: NULL separator or any NULL argument yields NULL in the
@@ -409,6 +423,10 @@ def _cast_tpl(arg: str) -> str | None:
         return _SQL_FN[typ](inner)
     if typ == "string":
         return _str8(inner)
+    if typ in ("smallint", "int16", "int", "int32", "bigint", "int64",
+               "float", "double"):
+        # CAST syntax shares the function-cast's timestamp→epoch-ms rule
+        return _num_cast(inner, _CAST_TYPES.get(typ, typ))
     return f"try_cast({inner} as {_CAST_TYPES.get(typ, typ)})"
 
 
@@ -433,28 +451,123 @@ def _date_format_tpl(a: str, fmt: str | None) -> str:
             f"'{java.replace(chr(39), chr(39) * 2)}') END)")
 
 
+def _str_lit_value(text: str) -> str | None:
+    """The runtime value of a quoted SQL string literal, or None if the
+    text isn't a plain literal. Resolves backslash escape sequences the
+    way both engines' literal parsers do (\\\\ → \\, \\x → x)."""
+    m = re.fullmatch(r"'(.*)'|\"(.*)\"", text.strip(), re.DOTALL)
+    if not m:
+        return None
+    raw = m.group(1) if m.group(1) is not None else m.group(2)
+    return re.sub(r"\\(.)", r"\1", raw)
+
+
+def _lone_trailing_escape(pat: str, esc: str) -> bool:
+    """True if the pattern ends on an unpaired escape character — the
+    reference's like_internal returns false for every input in that
+    case (udf.cc:339-342), while Spark raises ESC_AT_THE_END."""
+    i, n = 0, len(pat)
+    while i < n:
+        if pat[i] == esc:
+            if i + 1 >= n:
+                return True
+            i += 2
+        else:
+            i += 1
+    return False
+
+
+def _like_never_matches(s: str, negate: bool = False) -> str:
+    """like_internal's constant-result tail: false (true under NOT) for
+    every non-null target, NULL propagated for a NULL target."""
+    v = "TRUE" if negate else "FALSE"
+    return (f"(CASE WHEN ({s}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE {v} END)")
+
+
 def _like_tpl(op: str, s: str, pat: str, esc: str | None = None) -> str:
     """like_match/ilike_match (default_udf_library.cc:699-857): 2-arg and
     3-arg (escape char) forms; NULL pattern/escape → NULL result; the
     empty-string escape disables escaping (EscapeLikeMatch). Spark's
     ESCAPE clause only accepts a one-char string literal, so the escape
-    argument must be resolvable at translation time."""
+    argument must be resolvable at translation time. Reference edge
+    semantics (udf.cc:325-423): a multi-character escape makes the match
+    constant-false, as does a pattern ending on an unpaired escape char
+    — both still NULL-propagate a NULL target."""
     if esc is None:
         return f"(({s}) {op} ({pat}))"
     e = esc.strip()
-    m = re.fullmatch(r"'(.*)'|\"(.*)\"", e, re.DOTALL)
-    if m:
-        lit = m.group(1) if m.group(1) is not None else m.group(2)
+    lit = _str_lit_value(e)
+    if lit is not None:
         if lit == "":
             # '' disables escaping; Spark's LIKE defaults to backslash
             # escape, so emit ESCAPE with an impossible control char
             # (mirrors functions/registry._like_match's \x00 escape)
             return f"(({s}) {op} ({pat}) ESCAPE '\x01')"
-        return f"(({s}) {op} ({pat}) ESCAPE '{lit}')"
+        if len(lit) >= 2:
+            # escape->size_ >= 2 → *out = false (udf.cc:415-419)
+            return _like_never_matches(s)
+        pv = _str_lit_value(pat)
+        if pv is not None and _lone_trailing_escape(pv, lit):
+            return _like_never_matches(s)
+        esc_sql = lit.replace("\\", "\\\\").replace("'", "\\'")
+        return f"(({s}) {op} ({pat}) ESCAPE '{esc_sql}')"
     if re.fullmatch(r"(?is)null|string\s*\(\s*null\s*\)|cast\s*\(\s*null.*",
                     e):
         return "cast(NULL as boolean)"   # NULL escape → NULL result
     raise SqlUnsupported(f"non-literal LIKE escape {esc!r}")
+
+
+_LIKE_EDGE_RE = re.compile(
+    r"(?P<lhs>\((?:[^()]|\([^()]*\))*\)"
+    r"|(?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))*)"
+    r"\s+(?P<neg>NOT\s+)?(?P<op>I?LIKE)\s+"
+    r"(?P<pat>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")\s+"
+    r"ESCAPE\s+(?P<esc>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")",
+    re.IGNORECASE)
+
+
+def _string_spans(text: str) -> list[tuple[int, int]]:
+    spans, i, n = [], 0, len(text)
+    while i < n:
+        if text[i] in "'\"":
+            j = _skip_str(text, i)
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _rewrite_operator_like_edges(text: str) -> str:
+    """Operator-form ``x [NOT] [I]LIKE <pat> ESCAPE <esc>`` where the
+    escape is multi-character or the pattern ends on an unpaired escape
+    char: constant-false in the reference (udf.cc:325-423, NULL target
+    still propagates NULL) but a parse/runtime error in Spark — lower
+    those statically. Matches beginning inside a string literal are
+    left alone (quote-aware, per the segment-walker convention)."""
+    if not re.search(r"\bESCAPE\b", text, re.IGNORECASE):
+        return text
+    spans = _string_spans(text)
+    out = text
+    for m in reversed(list(_LIKE_EDGE_RE.finditer(text))):
+        if any(a < m.start() < b for a, b in spans):
+            continue
+        esc = _str_lit_value(m.group("esc"))
+        pat = _str_lit_value(m.group("pat"))
+        if not esc:
+            continue
+        if len(esc) >= 2:
+            # operator form: the reference PLANNER rejects a multi-char
+            # escape (v040/test_like.yaml id 28 is success:false), unlike
+            # the like_match() runtime which returns constant-false
+            raise SqlUnsupported(
+                f"LIKE escape must be a single character: {esc!r}")
+        if pat is not None and _lone_trailing_escape(pat, esc):
+            repl = _like_never_matches(m.group("lhs"),
+                                       negate=bool(m.group("neg")))
+            out = out[:m.start()] + repl + out[m.end():]
+    return out
 
 
 def translate_expr(text: str) -> str:
@@ -486,12 +599,14 @@ def translate_expr(text: str) -> str:
                 f"interval literal {im.group(0)!r} outside a window frame")
         return seg
 
-    # `ESCAPE ''` disables escaping in OpenMLDB; Spark rejects the empty
-    # escape AND its plain LIKE still backslash-escapes, so rewrite to an
-    # impossible control char (pre-pass: the pattern spans a quoted
-    # literal, so it can't run inside op_fix's non-string segments)
-    text = re.sub(r"\bESCAPE\s+''", " ESCAPE '\x01' ", text,
+    # `ESCAPE ''`/`ESCAPE ""` disables escaping in OpenMLDB; Spark
+    # rejects the empty escape AND its plain LIKE still
+    # backslash-escapes, so rewrite to an impossible control char
+    # (pre-pass: the pattern spans a quoted literal, so it can't run
+    # inside op_fix's non-string segments)
+    text = re.sub(r"\bESCAPE\s+(''|\"\")", " ESCAPE '\x01' ", text,
                   flags=re.IGNORECASE)
+    text = _rewrite_operator_like_edges(text)
 
     out, buf, i, n = [], [], 0, len(text)
     while i < n:
@@ -1210,6 +1325,36 @@ def resolve_databases(sql: str, tables: dict, default_db: str | None):
     return sql, flat
 
 
+def strip_comments(sql: str) -> str:
+    """Remove ``-- …`` line comments and ``/* … */`` block comments,
+    quote-aware (the reference's ZetaSQL lexer does this; production
+    feature scripts annotate projections with ``--`` comments —
+    cases/usecase/autox.yaml). The newline after a line comment is kept
+    so token separation survives."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"":
+            j = _skip_str(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if ch == "/" and sql[i:i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            if j < 0:
+                raise SqlUnsupported("unterminated block comment")
+            out.append(" ")
+            i = j + 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def run_sql(spark, sql: str, tables, params=None, default_db=None):
     """Execute a supported OpenMLDB SQL query over DataFrames — either a
     positional list (``{0}`` refs) or a {name: df} dict (named tables).
@@ -1221,7 +1366,19 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
     SQL over temp views."""
     if params is not None:
         sql = bind_params(sql, list(params))
+    sql = strip_comments(sql)
     sql = _strip_backticks(sql)
+    if re.match(r"\s*SET\b", sql, re.IGNORECASE):
+        # session-variable statements are not part of the batch query
+        # surface (and Spark's own SET would silently accept them —
+        # plan/error_unsupport_sql.yaml set_statement)
+        raise SqlUnsupported("SET statements are not supported")
+    for im in re.finditer(r"(?i)\bIN\s*\(\s*SELECT\b", sql):
+        if not any(a < im.start() < b for a, b in _string_spans(sql)):
+            # hybridse rejects IN with a subquery list
+            # (plan/error_unsupport_sql.yaml in_predicate_subquery);
+            # Spark would run it
+            raise SqlUnsupported("IN (subquery) is not supported")
     if isinstance(tables, dict) and (
             default_db or any("." in k for k in tables)):
         sql, tables = resolve_databases(sql, tables, default_db)

@@ -94,7 +94,15 @@ def _mk_named_df(spark, inp):
             # yaml rows may spell typed values loosely ('1.0' for a
             # double, 1 for a float) — coerce per declared type; strings
             # stay verbatim ('' is a real empty string here, not NULL)
-            rows = [[v if v is None or t == "string"
+            # except for SQL-literal backslash escapes: the reference
+            # harness INSERTs rows through SQL string literals, so
+            # '\\\%a_b' in the yaml reaches the engine as '\%a_b'
+            # (v040/test_like.yaml id 8)
+            def _s(v):
+                if isinstance(v, str) and "\\" in v:
+                    return re.sub(r"\\(.)", r"\1", v)
+                return v
+            rows = [[_s(v) if v is None or t == "string"
                      else _parse_value(str(v), t)
                      for v, (_, t) in zip(r, cols)] for r in inp["rows"]]
         else:
