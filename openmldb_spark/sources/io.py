@@ -113,14 +113,223 @@ def select_into(
     mode: str = "error",
     partition_by: list[str] | None = None,
 ) -> None:
-    """SELECT ... INTO OUTFILE (SelectIntoPlan.scala:27-46)."""
+    """SELECT ... INTO OUTFILE (SelectIntoPlan.scala:27-46).
+
+    CSV exports produce ONE file at ``path`` (the reference exporter's
+    contract — out_in corpus `cat:` expectations and append-mode cases
+    read it as a single line stream; a header=false append contributes
+    data lines only). The parent directory must already exist (corpus
+    id 21) and mode=error fails on an existing file. Single-file CSV is
+    a driver-side merge — the 100 TB export path is parquet/partitioned
+    parquet, which stays a distributed directory write."""
     fmt = fmt.lower()
     if fmt not in FORMATS:
         raise ValueError(f"format {fmt!r} not in {FORMATS}")
     opts = dict(options or {})
+    if fmt == "csv" and not partition_by:
+        opts.setdefault("header", "true")
+        _write_single_csv(df, path, opts, mode)
+        return
     if fmt == "csv":
         opts.setdefault("header", "true")
     w = df.write.format(fmt).options(**opts).mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def _write_single_csv(df: DataFrame, path: str, opts: dict,
+                      mode: str) -> None:
+    import glob
+    import shutil
+    import tempfile
+
+    mode = mode.lower()
+    opts = dict(opts)
+    # the reference exporter writes an empty string as an EMPTY field,
+    # not Spark's default literal "" (out_in corpus id 17 cat lines)
+    opts.setdefault("emptyValue", "")
+    exists = os.path.exists(path)
+    if exists and mode in ("error", "errorifexists"):
+        raise FileExistsError(f"{path} already exists (mode=error_if_exists)")
+    parent = os.path.dirname(os.path.abspath(path))
+    if not os.path.isdir(parent):
+        raise FileNotFoundError(f"output directory {parent} does not exist")
+    tmp = tempfile.mkdtemp(prefix="select_into_")
+    try:
+        part_dir = os.path.join(tmp, "parts")
+        # one part = one header line = one logical file (every part of a
+        # multi-partition write would carry its own header)
+        df.coalesce(1).write.format("csv").options(**opts).save(part_dir)
+        parts = sorted(glob.glob(os.path.join(part_dir, "part-*")))
+        # quote disabled (NUL): univocity still wraps values containing
+        # the delimiter in NUL quotes — the reference exporter writes
+        # them raw (and a later LOAD fails on the shifted columns,
+        # out_in corpus id 34), so strip the NUL bytes
+        raw = opts.get("quote") == "\u0000"
+        write_mode = "ab" if (exists and mode == "append") else "wb"
+        with open(path, write_mode) as out:
+            for p in parts:
+                with open(p, "rb") as f:
+                    data = f.read()
+                    out.write(data.replace(b"\x00", b"") if raw else data)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -- statement-level front end ---------------------------------------------
+#
+# `SELECT ... INTO OUTFILE '<path>' OPTIONS(...)` and
+# `LOAD DATA INFILE '<path>' INTO TABLE t OPTIONS(...)` as SQL text, with
+# the reference's option names, defaults and validation
+# (HybridseUtil.parseOptions, HybridseUtil.scala:191-229):
+#   format csv|parquet (default csv); delimiter -> sep (','); header
+#   (true); null_value -> nullValue ('null'); quote (NUL = no quoting);
+#   mode error_if_exists (default) | append | overwrite;
+#   deep_copy (LOAD only, default true). Unknown keys and malformed
+#   boolean values are rejected (out_in corpus cases 13/14).
+
+import re as _re
+
+_OUTFILE_RE = _re.compile(
+    r"(?is)^\s*(?P<select>select\b.*?)\s+into\s+outfile\s+"
+    r"'(?P<path>[^']+)'\s*(?:options\s*\((?P<opts>.*?)\))?\s*;?\s*$")
+_LOAD_RE = _re.compile(
+    r"(?is)^\s*load\s+data\s+infile\s+'(?P<path>[^']+)'\s+into\s+table\s+"
+    r"(?P<table>[^\s(;]+)\s*(?:options\s*\((?P<opts>.*?)\))?\s*;?\s*$")
+
+_KNOWN_OPTS = {"format", "delimiter", "header", "null_value", "quote",
+               "mode", "deep_copy"}
+
+
+def _parse_stmt_options(text: str | None) -> dict:
+    """-> {key: (value, was_quoted)}. Boolean-typed options (header,
+    deep_copy) must be BARE true/false literals — a quoted 'true' is a
+    type error in the reference (out_in corpus id 13)."""
+    out = {}
+    if not text or not text.strip():
+        return out
+    for kv in _re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", text):
+        m = _re.fullmatch(r"\s*(\w+)\s*=\s*(.+?)\s*", kv, _re.DOTALL)
+        if not m:
+            raise ValueError(f"malformed option {kv!r}")
+        k, v = m.group(1).lower(), m.group(2)
+        if k not in _KNOWN_OPTS:
+            raise ValueError(f"unknown option key {k!r}")
+        lit = _re.fullmatch(r"'(.*)'|\"(.*)\"", v, _re.DOTALL)
+        if lit:
+            out[k] = (lit.group(1) if lit.group(1) is not None
+                      else lit.group(2), True)
+        else:
+            out[k] = (v, False)
+    return out
+
+
+def _bool_opt(raw: dict, key: str, default: str) -> str:
+    val, quoted = raw.get(key, (default, False))
+    if quoted or str(val).lower() not in ("true", "false"):
+        raise ValueError(f"{key} must be a bare boolean literal: {val!r}")
+    return str(val).lower()
+
+
+def _map_rw_options(raw: dict, is_load: bool):
+    """OpenMLDB option dict -> (fmt, spark read/write options, spark
+    write mode, deep_copy)."""
+    fmt = str(raw.get("format", ("csv", False))[0]).lower()
+    if fmt not in FORMATS:
+        raise ValueError(f"format {fmt!r} not in {FORMATS}")
+    opts = {"header": "true", "nullValue": "null"}
+    if "delimiter" in raw:
+        opts["sep"] = raw["delimiter"][0]
+    if "header" in raw:
+        opts["header"] = _bool_opt(raw, "header", "true")
+    if "null_value" in raw:
+        opts["nullValue"] = raw["null_value"][0]
+    # default quote is NUL = no quoting (HybridseUtil.scala:202: "the
+    # same with spark quote empty string")
+    opts["quote"] = raw.get("quote", ("\u0000", False))[0]
+    mode = str(raw.get("mode", ("error_if_exists", False))[0]).lower()
+    if mode == "error_if_exists":
+        mode = "errorifexists"
+    elif mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported write mode {mode!r}")
+    deep = None
+    if is_load:
+        deep = _bool_opt(raw, "deep_copy", "true") == "true"
+    return fmt, opts, mode, deep
+
+
+def _read_with_schema(spark, path, fmt, opts, schema: T.StructType):
+    """LOAD into a declared table: read with the table's schema in
+    FAILFAST mode (a malformed/mismatched row is an error, not a silent
+    NULL — out_in corpus ids 22/25/34); with header=true the file's
+    header names must match the table columns (ids 22/24). Timestamp
+    columns read as STRING first and accept either epoch-ms longs or
+    datetime strings (HybridseUtil.parseLongTsCols)."""
+    import pyspark.sql.functions as F
+
+    if fmt != "csv":
+        return spark.read.format(fmt).options(**opts).load(path)
+    if str(opts.get("header", "true")).lower() == "true":
+        sep = opts.get("sep", ",")
+        head = spark.read.text(path).limit(1).collect()
+        names = head[0][0].split(sep) if head else []
+        if names != [f.name for f in schema.fields]:
+            raise ValueError(
+                f"csv header {names} does not match table columns "
+                f"{[f.name for f in schema.fields]}")
+    ts_cols = [f.name for f in schema.fields
+               if isinstance(f.dataType, T.TimestampType)]
+    read_schema = T.StructType([
+        T.StructField(f.name, T.StringType() if f.name in ts_cols
+                      else f.dataType, f.nullable)
+        for f in schema.fields])
+    df = spark.read.format(fmt).options(**opts).option("mode", "FAILFAST") \
+        .schema(read_schema).load(path)
+    for c in ts_cols:
+        df = df.withColumn(c, F.when(
+            F.col(c).rlike(r"^\d+$"),
+            F.timestamp_millis(F.col(c).cast("long"))
+        ).otherwise(F.to_timestamp(F.col(c))))
+    return df
+
+
+def run_statement(spark, stmt: str, tables: dict,
+                  path_resolver=None) -> DataFrame | None:
+    """Execute one statement of the offline job surface: SELECT INTO
+    OUTFILE writes, LOAD DATA INFILE (re)binds a table in ``tables``,
+    anything else runs through run_sql and returns its DataFrame."""
+    from openmldb_spark.sqlfe import run_sql
+
+    resolve = path_resolver or (lambda p: p)
+    m = _OUTFILE_RE.match(stmt)
+    if m:
+        fmt, opts, mode, _ = _map_rw_options(
+            _parse_stmt_options(m.group("opts")), is_load=False)
+        df = run_sql(spark, m.group("select"), tables)
+        select_into(df, resolve(m.group("path")), fmt=fmt, options=opts,
+                    mode=mode)
+        return None
+    m = _LOAD_RE.match(stmt)
+    if m:
+        fmt, opts, mode, deep = _map_rw_options(
+            _parse_stmt_options(m.group("opts")), is_load=True)
+        name = m.group("table")
+        if name not in tables:
+            # LOAD targets an EXISTING table (out_in corpus id 26)
+            raise ValueError(f"table {name!r} does not exist")
+        prior = tables[name]
+        df = _read_with_schema(spark, resolve(m.group("path")), fmt,
+                               opts, prior.schema)
+        # a LOAD is an eager job in the reference — malformed input must
+        # fail AT LOAD TIME (FAILFAST), not when a later query happens
+        # to scan the table (out_in corpus ids 22/25/34). count() would
+        # prune every column and skip type conversion entirely, so force
+        # a full-width scan through the noop sink
+        df.write.format("noop").mode("overwrite").save()
+        # rows land IN the table: default and 'append' add to existing
+        # content (corpus ids 31/33: a 3-row table + 3 loaded rows = 6);
+        # 'overwrite' replaces it
+        tables[name] = df if mode == "overwrite" else prior.unionByName(df)
+        return None
+    return run_sql(spark, stmt, tables)
