@@ -1,5 +1,6 @@
-"""Replay the reference's export/import corpus
-(cases/function/out_in/test_out_in.yaml) through the statement front
+"""Replay the reference's export/import corpora
+(cases/function/out_in/test_out_in.yaml and the offline variant
+v040/test_out_in_offline.yaml) through the statement front
 end (sources/io.run_statement): SELECT INTO OUTFILE → LOAD DATA INFILE
 → SELECT round-trips with the reference's option names, defaults and
 validation (delimiter/header/null_value/quote/mode/format/deep_copy;
@@ -23,12 +24,19 @@ from openmldb_spark.sqlfe import SqlUnsupported
 from test_plain_query_cases import _expect_table, _cell, check_case
 from test_window_query_cases import Unsupported, _mk_named_df
 
-SRC = "/root/reference/cases/function/out_in/test_out_in.yaml"
+SRCS = [
+    "/root/reference/cases/function/out_in/test_out_in.yaml",
+    "/root/reference/cases/function/v040/test_out_in_offline.yaml",
+]
 
 
 def _load():
-    with open(SRC) as f:
-        return yaml.safe_load(f)["cases"]
+    out = []
+    for src in SRCS:
+        with open(src) as f:
+            for c in yaml.safe_load(f)["cases"]:
+                out.append(dict(c, _src=src.rsplit("/", 1)[-1]))
+    return out
 
 
 def _excluded(case) -> str | None:
@@ -63,13 +71,16 @@ def _run_case(spark, case, tmpdir):
         # missing parent dir (corpus id 21 pins the export failing)
         return os.path.join(tmpdir, p.lstrip("/"))
 
-    last = None
+    last, last_outfile = None, None
     for stmt in case["sqls"]:
         stmt = str(stmt)
         for i in range(len(tables) + 2):
             stmt = stmt.replace("{" + str(i) + "}", f"t{i}")
         last = run_statement(spark, stmt, tables, path_resolver=resolve)
-    return last, resolve
+        m = re.search(r"(?i)into\s+outfile\s+'([^']+)'", stmt)
+        if m:
+            last_outfile = resolve(m.group(1))
+    return last, resolve, last_outfile
 
 
 def _cells_equal(g: str, e: str) -> bool:
@@ -109,18 +120,24 @@ def _check(spark, case, tmpdir):
     exp = case.get("expect") or {}
     if exp.get("success") is False:
         with pytest.raises(Exception):
-            df, _ = _run_case(spark, case, tmpdir)
+            df, _, _ = _run_case(spark, case, tmpdir)
             if df is not None:
                 df.collect()
         return
-    df, resolve = _run_case(spark, case, tmpdir)
+    df, resolve, outfile = _run_case(spark, case, tmpdir)
     if "cat" in exp:
         _check_cat(exp["cat"], resolve)
         return
-    assert df is not None, "case ends without a SELECT"
     if "columns" not in exp and "schema" not in exp:
-        assert df.count() == exp["count"], (df.count(), exp.get("count"))
+        if df is None:
+            # case ends on the export itself (the offline corpus
+            # comments out the re-import): count the exported rows
+            got = spark.read.option("header", "true").csv(outfile).count()
+        else:
+            got = df.count()
+        assert got == exp["count"], (got, exp.get("count"))
         return
+    assert df is not None, "case ends without a SELECT"
     names, typs, erows = _expect_table(exp)
     got = df.toPandas()
     assert len(got.columns) == len(names), (list(got.columns), names)
@@ -145,7 +162,7 @@ def _check(spark, case, tmpdir):
 
 
 def _params():
-    return [pytest.param(c, id=f"out_in::{c.get('id')}")
+    return [pytest.param(c, id=f"{c['_src']}::{c.get('id')}")
             for c in _load()]
 
 
@@ -178,5 +195,5 @@ def test_minimum_out_in_coverage(spark, tmp_path):
             fails.append((case.get("id"),
                           type(e).__name__ + " " + str(e)[:90]))
     assert not fails, fails
-    assert ok >= 37, f"only {ok} out_in cases passed"
+    assert ok >= 72, f"only {ok} out_in cases passed"
     assert not skips, skips
