@@ -18,7 +18,8 @@ from openmldb_spark.operators.lastjoin import last_join, asof_join_kernel
 from openmldb_spark.operators.sessionize import sessionize
 from openmldb_spark.operators.request import request_features
 from openmldb_spark.session import get_spark
-from openmldb_spark.sqlfe import run_sql
+from openmldb_spark.sqlfe import run_sql, run_sql_request
+from openmldb_spark.sources.io import run_statement
 
 __all__ = [
     "Agg",
@@ -31,6 +32,8 @@ __all__ = [
     "sessionize",
     "request_features",
     "run_sql",
+    "run_sql_request",
+    "run_statement",
     "get_spark",
 ]
 
