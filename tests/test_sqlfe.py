@@ -155,3 +155,54 @@ def test_sqlfe_named_tables(spark):
     out = {r.turn_idx: r.s for r in
            _run(spark, sql, {"transcripts": t, "history": hist}).collect()}
     assert out == {0: 11.0, 1: 13.0, 2: 17.0}
+
+
+def test_strip_comments_quote_aware():
+    from openmldb_spark.sqlfe import strip_comments
+    # literals survive; comments vanish to end of line / block
+    assert strip_comments("select a -- drop me\nfrom t") == \
+        "select a \nfrom t"
+    assert strip_comments("select '-- not a comment' from t") == \
+        "select '-- not a comment' from t"
+    assert strip_comments("select /* gone */ a from t") == \
+        "select   a from t"
+    assert strip_comments("select '/* keep */' from t") == \
+        "select '/* keep */' from t"
+
+
+def test_like_edge_lowering():
+    from openmldb_spark.sqlfe import (SqlUnsupported, _like_tpl,
+                                      _lone_trailing_escape,
+                                      translate_expr)
+    # function form: multi-char escape is constant-false (udf.cc:415-419)
+    assert "FALSE" in _like_tpl("LIKE", "c1", "'a%'", "'<>'")
+    # function form: lone trailing escape in a literal pattern
+    assert _lone_trailing_escape("a%#", "#")
+    assert not _lone_trailing_escape("a%##", "#")
+    assert "FALSE" in _like_tpl("LIKE", "c1", "'a%#'", "'#'")
+    # operator form: multi-char escape is PLAN-rejected
+    # (v040/test_like.yaml id 28 is a negative case)
+    try:
+        translate_expr("c1 like 'a%' escape '<>'")
+        raise AssertionError("multi-char escape must be rejected")
+    except SqlUnsupported:
+        pass
+    # operator form: trailing-escape pattern lowers to null-aware FALSE
+    out = translate_expr("c1 like 'a%#' escape '#'")
+    assert "FALSE" in out and "c1" in out
+    # ...but a string literal containing the same text is untouched
+    out = translate_expr("'x like \'a%\' escape \'<>\''")
+    assert "like" in out.lower()
+
+
+def test_timestamp_numeric_cast_is_epoch_ms(spark):
+    """bigint(ts) / cast(ts as bigint) are epoch MILLISECONDS
+    (Timestamp.ts_; autox.yaml time_diff) — Spark's native cast would
+    give seconds."""
+    from openmldb_spark.sqlfe import run_sql
+    df = spark.createDataFrame(
+        [(1, __import__("datetime").datetime.utcfromtimestamp(
+            1590738989))], "id int, ts timestamp")
+    got = run_sql(spark, "select bigint(ts) as a, cast(ts as bigint) "
+                         "as b from {0}", [df]).collect()[0]
+    assert got.a == 1590738989000 and got.b == 1590738989000
