@@ -93,7 +93,10 @@ def plan_stats(df) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    runs = int(os.environ.get("BENCH_RUNS", "1"))
+    # best-of-2 per query by default: host-level noise on this shared VM
+    # inflates individual doc-table queries 3-7x within a single run
+    # (BASELINE.md protocol) — a second pass isolates compute cost
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     spark = get_spark(app_name="openmldb-spark-bench")
 
     # warm-up: JVM + Python worker pool + parquet footer cache
@@ -133,6 +136,7 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec": turns_per_sec,
         "cores": cpus,
+        "runs_per_query": runs,
     }
     if errors:
         rec["errors"] = errors
