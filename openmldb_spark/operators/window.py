@@ -230,8 +230,36 @@ def window_agg(
     keys = list(spec.partition_by)
     keep_cols = list(keep_cols or df.columns)
 
-    # fail fast with a readable error instead of a deep analysis trace
+    # case-insensitive column resolution (the reference's analyzer and
+    # Spark SQL both resolve COL5 == col5; the kernel is dict-based, so
+    # remap any unique case-insensitive match — plan corpus
+    # distinct_query id 2 orders by COL5 over a col5 schema)
     have = set(df.columns)
+    lower = {}
+    for c in df.columns:
+        lower.setdefault(c.lower(), []).append(c)
+
+    def _ci(name):
+        if name is None or name in have:
+            return name
+        hits = lower.get(str(name).lower())
+        return hits[0] if hits and len(hits) == 1 else name
+
+    if any(c is not None and c not in have
+           for c in [*keys, spec.order_by, *spec.tiebreak, *keep_cols]):
+        import dataclasses
+        keys = [_ci(c) for c in keys]
+        keep_cols = [_ci(c) for c in keep_cols]
+        spec = dataclasses.replace(
+            spec, partition_by=tuple(keys), order_by=_ci(spec.order_by),
+            tiebreak=tuple(_ci(c) for c in spec.tiebreak))
+    if any((a.col and a.col not in have) or (a.cond and a.cond not in have)
+           or (a.cate and a.cate not in have) for a in aggs):
+        import dataclasses
+        aggs = [dataclasses.replace(a, col=_ci(a.col), cond=_ci(a.cond),
+                                    cate=_ci(a.cate)) for a in aggs]
+
+    # fail fast with a readable error instead of a deep analysis trace
     missing = [c for c in [*keys, spec.order_by, *spec.tiebreak, *keep_cols]
                if c not in have]
     for a in aggs:

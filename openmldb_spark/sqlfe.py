@@ -726,6 +726,8 @@ class WindowQuery:
     # auxiliary computed columns (translated expr → column name) for
     # expression-valued aggregate arguments
     aux: dict = field(default_factory=dict)
+    # SELECT DISTINCT over the window output (distinct_query id 2)
+    distinct: bool = False
 
 
 def _lift_anonymous_windows(sql: str) -> str:
@@ -960,10 +962,15 @@ def compile_window_sql(sql: str) -> WindowQuery:
     # strip a `FROM {i} AS alias` table alias (refs use bare col names)
     sql = re.sub(r"(FROM\s+\{\d+\})\s+as\s+\w+", r"\1", sql,
                  flags=re.IGNORECASE)
+    distinct = False
+    dm = re.match(r"(?i)(\s*SELECT\s+)DISTINCT\s+", sql)
+    if dm:
+        distinct = True
+        sql = dm.group(1) + sql[dm.end():]
     m = _SQL_RE.match(sql)
     if not m:
         raise SqlUnsupported("not a SELECT ... FROM {i} WINDOW ... query")
-    q = WindowQuery(primary_idx=int(m.group("prim")))
+    q = WindowQuery(primary_idx=int(m.group("prim")), distinct=distinct)
     wins_txt = m.group("wins")
     consumed = wins_txt
     for name, body in _WINDEF_RE.findall(wins_txt):
@@ -1368,6 +1375,22 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
         sql = bind_params(sql, list(params))
     sql = strip_comments(sql)
     sql = _strip_backticks(sql)
+    cm = re.search(r"(?i)\bCONFIG\s*\(", sql)
+    if cm and not any(a < cm.start() < b for a, b in _string_spans(sql)):
+        # trailing CONFIG (k=v, ...) clause: hybridse parses and attaches
+        # it to the plan (plan corpus simple_query "select with config");
+        # the batch engine ignores it — strip through the matching paren
+        depth, j = 0, sql.index("(", cm.start())
+        k = j
+        while k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        sql = sql[:cm.start()] + sql[k + 1:]
     if re.match(r"\s*SET\b", sql, re.IGNORECASE):
         # session-variable statements are not part of the batch query
         # surface (and Spark's own SET would silently accept them —
@@ -1867,6 +1890,12 @@ def _run_window_sql(sql: str, tables: list, limit: int | None = None):
                          union=union or None, tier="kernel")
         merged = merged.join(out, _RID, "inner")
 
+    if q.distinct:
+        # SELECT DISTINCT over window output (plan corpus
+        # distinct_query id 2): dedup the projected rows, then LIMIT
+        # (row identity after DISTINCT is set-like, so no _RID order)
+        out = merged.select(*final_cols).distinct()
+        return out.limit(limit) if limit is not None else out
     if limit is not None:
         # LIMIT after a window query: deterministic first-N in input-row
         # order (the reference iterates storage order)
