@@ -26,6 +26,7 @@ WINDOW_CLAUSE.md, JOIN_CLAUSE.md; hybridse/src/planv2/ast_node_converter.cc.
 
 from __future__ import annotations
 
+import contextvars
 import re
 from dataclasses import dataclass, field
 
@@ -255,14 +256,45 @@ def _num_cast(a: str, typ: str) -> str:
     SECONDS. typeof-dispatch so non-timestamp operands keep the plain
     try_cast; the unused branch routes via a string cast so it analyzes
     for every input type."""
+    # every branch must ANALYZE for every possible input type (only the
+    # matched one evaluates) — and a DATE operand makes a bare
+    # try_cast(a as <numeric>) an ANALYSIS error (test_type.yaml id 32
+    # expects NULL for int16(date)), so all branches route through a
+    # string cast, which analyzes universally:
+    #   float/double → exact shortest-repr round-trip, then C-style
+    #     truncation toward zero (try_cast double→int truncates);
+    #   integers → lossless via bigint;
+    #   bool → C truthiness 1/0;
+    #   date / unparseable strings → NULL.
     ms = f"unix_millis(try_cast(cast({a} as string) as timestamp))"
+    s = f"cast({a} as string)"
     return (f"(CASE WHEN typeof({a}) = 'timestamp' "
             f"THEN try_cast({ms} as {typ}) "
-            f"ELSE try_cast({a} as {typ}) END)")
+            f"WHEN typeof({a}) IN ('float', 'double') "
+            f"THEN try_cast(try_cast({s} as double) as {typ}) "
+            f"WHEN typeof({a}) IN ('tinyint', 'smallint', 'int', 'bigint') "
+            f"THEN try_cast(try_cast({s} as bigint) as {typ}) "
+            f"WHEN typeof({a}) = 'boolean' "
+            f"THEN try_cast(IF({s} = 'true', 1, 0) as {typ}) "
+            f"ELSE try_cast({s} as {typ}) END)")
 
 
 _SQL_FN: dict = {
-    "bool": lambda a: f"boolean({a})",
+    # bool(): numerics are C-truthy (nonzero → true); strings follow the
+    # udf string_to_bool set, which Spark's boolean cast matches exactly
+    # — yes/no/y/n/t/f/true/false/1/0, NULL otherwise
+    # (expression/test_type.yaml id 23: '' and 'abc' → NULL); date /
+    # timestamp → NULL (id 32). Every branch analyzes for every input
+    # type via the string round-trip.
+    "bool": lambda a: (
+        f"(CASE WHEN typeof({a}) IN ('tinyint', 'smallint', 'int', "
+        f"'bigint', 'float', 'double') "
+        f"THEN try_cast(cast({a} as string) as double) != 0.0D "
+        f"ELSE try_cast(cast({a} as string) as boolean) END)"),
+    # mod(a, b) is the function spelling of `%`; emit the bare operator
+    # and let lower_zero_div apply the reference's zero-divisor guard
+    "mod": lambda a, b: f"(({a}) % ({b}))",
+    "varchar": lambda a: _str8(a),
     "int16": lambda a: _num_cast(a, "smallint"),
     "int32": lambda a: _num_cast(a, "int"),
     "int64": lambda a: _num_cast(a, "bigint"),
@@ -570,6 +602,368 @@ def _rewrite_operator_like_edges(text: str) -> str:
     return out
 
 
+# --------------------------------------------------------------------------
+# Zero-divisor arithmetic lowering
+#
+# The reference's LLVM codegen makes integer `%` / `MOD` / `DIV` by zero
+# return 0 — the divisor is swapped for 1 and the result select-ed back
+# to 0 (hybridse/src/codegen/arithmetic_expr_ir_builder.cc:654-659 SDiv,
+# :678-686 SRem) — and FDiv (`/`) is plain IEEE double division, so
+# x / 0 yields ±Infinity and 0 / 0 yields NaN
+# (cases/function/expression/test_arithmetic.yaml id 0 provider 4 pins
+# 30 / 0 = Infinity). Spark's ANSI operators throw for ALL of these, so
+# every translated expression gets a final lowering pass that folds
+# multiplicative chains and wraps `%`, `DIV` and `/` in zero guards.
+# Known unpinned edges (documented divergence): float % 0.0 yields 0.0
+# here where the reference's FRem gives NaN, and x / -0.0 yields +Inf
+# where IEEE gives -Inf (SQL `= 0` cannot see the sign of zero).
+# --------------------------------------------------------------------------
+
+_ZD_PREFIX_OPS = {"-", "+", "!"}
+# structural SQL keywords are never operands: they pass through
+# verbatim and leave the scanner expecting a fresh unit, so keyword
+# runs (WHERE / THEN / AND ...) can't desynchronize chain detection
+_ZD_KEYWORDS = frozenset("""
+    SELECT FROM WHERE GROUP BY HAVING ORDER LIMIT AS ON AND OR NOT XOR
+    IN IS LIKE ILIKE RLIKE BETWEEN JOIN LEFT RIGHT FULL INNER OUTER
+    CROSS LAST UNION ALL DISTINCT WHEN THEN ELSE END OVER PARTITION
+    WINDOW ROWS ROWS_RANGE RANGE PRECEDING FOLLOWING UNBOUNDED CURRENT
+    ROW OPEN MAXSIZE EXCLUDE INSTANCE_NOT_IN_WINDOW CURRENT_TIME ESCAPE
+    ASC DESC NULLS INTO OUTFILE OPTIONS CONFIG LOAD DATA INFILE SET
+    INSERT VALUES
+    """.split())
+_ZD_MULTICHAR_OPS = ("==", "!=", "<>", "<=", ">=", "->", "&&", "||")
+_ZD_ID_RE = re.compile(
+    r"[A-Za-z_{][\w{}]*(?:\.(?:[A-Za-z_{][\w{}]*|\*))*")
+_ZD_NUM_RE = re.compile(r"\d+(?:\.\d*)?(?:[eE][+-]?\d+)?[A-Za-z]*|\.\d+"
+                        r"(?:[eE][+-]?\d+)?[A-Za-z]*")
+
+
+def _zd_tokenize(text: str) -> list[tuple[str, str]]:
+    """(kind, text) tokens: 'str' (quoted literal, opaque), 'ws', 'num',
+    'id' (dotted identifier / keyword), 'lp', 'rp', 'comma', 'op'."""
+    toks, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = _skip_str(text, i)
+            toks.append(("str", text[i:j]))
+            i = j
+        elif ch.isspace():
+            j = i
+            while j < n and text[j].isspace():
+                j += 1
+            toks.append(("ws", text[i:j]))
+            i = j
+        elif ch == "(":
+            toks.append(("lp", ch))
+            i += 1
+        elif ch == ")":
+            toks.append(("rp", ch))
+            i += 1
+        elif ch == ",":
+            toks.append(("comma", ch))
+            i += 1
+        elif ch.isdigit():
+            m = _ZD_NUM_RE.match(text, i)
+            toks.append(("num", m.group(0)))
+            i = m.end()
+        elif ch == "." and i + 1 < n and text[i + 1].isdigit():
+            m = _ZD_NUM_RE.match(text, i)
+            toks.append(("num", m.group(0)))
+            i = m.end()
+        elif ch.isalpha() or ch in "_{":
+            m = _ZD_ID_RE.match(text, i)
+            toks.append(("id", m.group(0)))
+            i = m.end()
+        else:
+            two = text[i:i + 2]
+            if two in _ZD_MULTICHAR_OPS:
+                toks.append(("op", two))
+                i += 2
+            else:
+                toks.append(("op", ch))
+                i += 1
+    return toks
+
+
+def _zd_skip_ws(toks, i):
+    while i < len(toks) and toks[i][0] == "ws":
+        i += 1
+    return i
+
+
+def _zd_unit_start(toks, i, expect_unit):
+    """Can toks[i] begin a primary operand?"""
+    if not expect_unit:
+        return False
+    kind, s = toks[i]
+    if kind == "id":
+        u = s.upper()
+        return u == "CASE" or u not in _ZD_KEYWORDS
+    if kind in ("num", "str", "lp"):
+        return True
+    return kind == "op" and (s in _ZD_PREFIX_OPS or s == "*")
+
+
+def _zd_unit(toks, i):
+    """Parse one primary operand (prefix unary ops + atom) starting at
+    toks[i]; returns (rewritten_text, next_index). Paren groups, call
+    arguments and CASE..END interiors are rewritten recursively."""
+    parts = []
+    # prefix unary operators (`-`, `+`, `!`; C precedence — they bind
+    # tighter than the multiplicative ops, matching hybridse)
+    while toks[i][0] == "op" and toks[i][1] in _ZD_PREFIX_OPS:
+        parts.append(toks[i][1])
+        i = _zd_skip_ws(toks, i + 1)
+    kind, s = toks[i]
+    if kind == "op" and s == "*":          # star primary: SELECT *, f(*)
+        return "".join(parts) + "*", i + 1
+    if kind in ("num", "str"):
+        return "".join(parts) + s, i + 1
+    if kind == "lp":
+        inner, j = _zd_seq(toks, i + 1)
+        parts.append("(" + inner + ")")
+        return "".join(parts), j + 1       # j sits on the matching rp
+    if kind == "id":
+        if s.upper() == "CASE":
+            # consume through the matching END (CASEs nest); the
+            # interior is a full expression sequence — recurse
+            depth, j = 1, i + 1
+            while j < len(toks) and depth:
+                if toks[j][0] == "id":
+                    u = toks[j][1].upper()
+                    if u == "CASE":
+                        depth += 1
+                    elif u == "END":
+                        depth -= 1
+                        if not depth:
+                            break
+                j += 1
+            if depth:
+                raise SqlUnsupported("CASE without matching END")
+            inner = _zd_rewrite_tokens(toks[i + 1:j])
+            parts.append("CASE" + inner + "END")
+            return "".join(parts), j + 1
+        # identifier — possibly a call: attach one balanced paren group
+        j = _zd_skip_ws(toks, i + 1)
+        if j < len(toks) and toks[j][0] == "lp":
+            inner, k = _zd_seq(toks, j + 1)
+            parts.append(s + "(" + inner + ")")
+            return "".join(parts), k + 1
+        parts.append(s)
+        return "".join(parts), i + 1
+    # lone operator where a unit was expected — emit verbatim
+    return "".join(parts) + s, i + 1
+
+
+# Operand-type environment for the zero-divisor lowering: run_sql
+# publishes {column_name_lower: spark_simple_type} for the current
+# tables so `%` can pick the reference's FRem semantics (float % 0 =
+# NaN — test_arithmetic.yaml ids 3-4 pin 30.0f % 0 = NAN) when either
+# operand is statically floating, vs SRem (int % 0 = 0). A NaN-typed
+# int template and an int-typed NaN template are mutually exclusive in
+# one CASE (branch types unify statically), hence the static dispatch.
+_EXPR_TYPES: "contextvars.ContextVar[dict | None]" = \
+    contextvars.ContextVar("_EXPR_TYPES", default=None)
+
+_ZD_FLOAT_TYPES = ("float", "double")
+_ZD_INT_TYPES = ("tinyint", "smallint", "int", "bigint", "boolean")
+
+
+def _zd_floatish(expr: str) -> bool | None:
+    """True if the operand is statically float/double, False if
+    statically integral, None if unresolvable from the text + the
+    published column-type environment."""
+    t = expr.strip()
+    while t.startswith("(") and t.endswith(")") and \
+            _match_paren(t, 0) == len(t) - 1:
+        t = t[1:-1].strip()
+    if re.fullmatch(r"[-+]?\d+", t):
+        return False
+    if re.fullmatch(r"[-+]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?", t):
+        return True
+    m = re.fullmatch(r"(?is)CAST\s*\(.*\s+AS\s+(\w+)\s*\)", t)
+    if m:
+        typ = m.group(1).lower()
+        if typ in _ZD_FLOAT_TYPES:
+            return True
+        if typ in _ZD_INT_TYPES:
+            return False
+        return None
+    if re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", t):
+        types = _EXPR_TYPES.get()
+        if types is None:
+            return None
+        typ = types.get(t.lower())
+        if typ is None and "." in t:
+            typ = types.get(t.rsplit(".", 1)[1].lower())
+        if typ in _ZD_FLOAT_TYPES:
+            return True
+        if typ in _ZD_INT_TYPES:
+            return False
+    return None
+
+
+def publish_expr_types(tables):
+    """Build and publish the column-type environment consumed by
+    _zd_floatish; returns a contextvars reset token. Ambiguous
+    unqualified names (same column name, different types across
+    tables) map to None (= unknown)."""
+    types: dict = {}
+    items = tables.items() if isinstance(tables, dict) else \
+        enumerate(tables)
+    for name, df in items:
+        try:
+            fields = df.schema.fields
+        except Exception:
+            continue
+        for f in fields:
+            t = f.dataType.simpleString()
+            for key in (f.name.lower(), f"{name}.{f.name}".lower()
+                        if isinstance(name, str) else None):
+                if key is None:
+                    continue
+                if key in types and types[key] != t:
+                    types[key] = None
+                else:
+                    types[key] = t
+    return _EXPR_TYPES.set(types)
+
+
+def _zd_guard_mod(a: str, b: str) -> str:
+    # mirrors BuildModExpr: integer SRem swaps a 0 divisor for 1 and
+    # selects the result back to 0; float FRem is IEEE fmod, where a 0
+    # divisor yields NaN — reproduced by swapping the divisor for NaN
+    # (fmod(x, NaN) = NaN; the FLOAT-typed literal promotes with the
+    # operands). 1Y/0Y are TINYINT literals so the integer template
+    # keeps the static result type promote(a, b). Operands of unknown
+    # static type take the integer template (documented edge: a
+    # runtime float % 0 then yields 0, not NaN).
+    if _zd_floatish(a) or _zd_floatish(b):
+        return (f"(({a}) % (CASE WHEN ({b}) = 0 "
+                f"THEN CAST('NaN' AS FLOAT) ELSE ({b}) END))")
+    return (f"(({a}) % (CASE WHEN ({b}) = 0 THEN 1Y ELSE ({b}) END) * "
+            f"(CASE WHEN ({b}) = 0 THEN 0Y ELSE 1Y END))")
+
+
+def _zd_guard_div(a: str, b: str) -> str:
+    # mirrors BuildSDivExpr (integer DIV; Spark's `div` widens to bigint
+    # but the reference's value semantics — select 0 on a 0 divisor —
+    # are preserved)
+    return (f"(({a}) DIV (CASE WHEN ({b}) = 0 THEN 1Y ELSE ({b}) END) * "
+            f"(CASE WHEN ({b}) = 0 THEN 0Y ELSE 1Y END))")
+
+
+def _zd_guard_fdiv(a: str, b: str) -> str:
+    # mirrors BuildFDivExpr: IEEE double division. a * +Inf reproduces
+    # sign(a)*Inf and 0/0 = NaN; NULLs propagate through the multiply.
+    return (f"(CASE WHEN ({b}) = 0 THEN CAST(({a}) AS DOUBLE) * "
+            f"CAST('Infinity' AS DOUBLE) ELSE ({a}) / ({b}) END)")
+
+
+def _zd_fold(a: str, op: str, b: str) -> str:
+    if op == "%":
+        return _zd_guard_mod(a, b)
+    if op == "DIV":
+        return _zd_guard_div(a, b)
+    if op == "/":
+        return _zd_guard_fdiv(a, b)
+    return f"{a} {op} {b}"
+
+
+def _zd_rewrite_tokens(toks) -> str:
+    """Rewrite a whole token list, tolerating stray ')' (emit verbatim
+    and resume) so a fragment never truncates."""
+    parts, i = [], 0
+    while True:
+        txt, i = _zd_seq(toks, i)
+        parts.append(txt)
+        if i >= len(toks):
+            return "".join(parts)
+        parts.append(toks[i][1])
+        i += 1
+
+
+def _zd_seq(toks, i):
+    """Rewrite a token stream until the matching ')' at this level (or
+    end of stream); returns (text, index_of_rp_or_len). Multiplicative
+    chains (unit (*|/|%|DIV) unit ...) left-fold through _zd_fold; every
+    other token passes through verbatim."""
+    out, expect_unit = [], True
+    while i < len(toks):
+        kind, s = toks[i]
+        if kind == "ws":
+            out.append(s)
+            i += 1
+            continue
+        if kind == "rp":
+            return "".join(out), i
+        if _zd_unit_start(toks, i, expect_unit):
+            acc, i = _zd_unit(toks, i)
+            while True:
+                j = _zd_skip_ws(toks, i)
+                if j >= len(toks):
+                    break
+                k2, s2 = toks[j]
+                op = None
+                if k2 == "op" and s2 in ("*", "/", "%"):
+                    op = s2
+                elif k2 == "id" and s2.upper() == "DIV":
+                    op = "DIV"
+                if op is None:
+                    break
+                u2 = _zd_skip_ws(toks, j + 1)
+                if u2 >= len(toks) or not _zd_unit_start(toks, u2, True):
+                    break
+                rhs, i = _zd_unit(toks, u2)
+                acc = _zd_fold(acc, op, rhs)
+            out.append(acc)
+            expect_unit = False
+            continue
+        if kind == "id" and s.upper() == "OVER":
+            # `agg() OVER w1` / `OVER (...)`: the window ref is part of
+            # the preceding unit, never an operand — consume it so a
+            # following `/` can't fold the window name into a division
+            # (the engine extracts window aggs before translation, so
+            # this is defensive; the agg call itself stays unguarded)
+            out.append(s)
+            i += 1
+            while i < len(toks) and toks[i][0] == "ws":
+                out.append(toks[i][1])
+                i += 1
+            if i < len(toks) and toks[i][0] == "id":
+                out.append(toks[i][1])
+                i += 1
+            elif i < len(toks) and toks[i][0] == "lp":
+                inner, j = _zd_seq(toks, i + 1)
+                out.append("(" + inner + ")")
+                i = j + 1
+            expect_unit = False
+            continue
+        out.append(s)
+        i += 1
+        expect_unit = True
+    return "".join(out), i
+
+
+def lower_zero_div(text: str) -> str:
+    """Final translation pass: wrap `%`, `DIV` and `/` in the
+    reference's zero-divisor semantics (see block comment above). Safe
+    on full statements — non-arithmetic tokens pass through verbatim.
+    Operands are re-emitted once per mention in the guard (2-3×), so
+    they must be pure expressions (OpenMLDB scalar exprs are)."""
+    if "%" not in text and "/" not in text and \
+            not re.search(r"(?i)\bDIV\b", text):
+        return text
+    try:
+        return _zd_rewrite_tokens(_zd_tokenize(text))
+    except SqlUnsupported:
+        raise
+    except Exception:   # pragma: no cover — never corrupt a query on a
+        return text     # tokenizer edge; worst case ANSI still throws
+
+
 def translate_expr(text: str) -> str:
     """OpenMLDB scalar expression text → Spark SQL text. Operators
     (`==`, `!=`, `!`, arithmetic, CASE WHEN) parse natively in Spark;
@@ -622,8 +1016,15 @@ def translate_expr(text: str) -> str:
         i += 1
     out.append(op_fix("".join(buf)))
     text = "".join(out)
-    return rewrite_calls(text, lambda n, a: _SQL_FN[n](*a)
+    # `CAST(x AS VARCHAR[(n)])` is OpenMLDB's SQL-standard string cast
+    # (expression/test_type.yaml ids 34-35); rewrite the TYPE spelling
+    # before call rewriting so `varchar(60)` is never parsed as a call
+    text = _sub_outside_strings(
+        r"(?is)\bas\s+varchar\s*(?:\(\s*\d+\s*\))?(?=\s*\))",
+        " as string", text)
+    text = rewrite_calls(text, lambda n, a: _SQL_FN[n](*a)
                          if n in _SQL_FN else None)
+    return lower_zero_div(text)
 
 
 # --------------------------------------------------------------------------
@@ -1406,32 +1807,38 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
             default_db or any("." in k for k in tables)):
         sql, tables = resolve_databases(sql, tables, default_db)
     sql, tables = canonicalize_tables(sql, tables)
+    _types_token = publish_expr_types(tables)
     try:
-        return _dispatch_sql(spark, sql, tables)
-    except Exception as e:
-        # OpenMLDB treats TIMESTAMP as int64 ms in arithmetic/comparison
-        # (udf.cc Timestamp.ts_); Spark's analyzer rejects ts+int. Retry
-        # with millisecond views — every calendar/cast template typeof-
-        # dispatches, so date parts still render identically on int64 ms.
-        # Logical operators additionally BoolCast ANY operand (C-style
-        # truthiness, cast_expr_ir_builder.cc:275) — when the analyzer
-        # demands a BOOLEAN, retry with truthiness-coerced operands.
-        if type(e).__name__ != "AnalysisException" or \
-                "DATATYPE_MISMATCH" not in str(e):
-            raise
-        attempts = []
-        if "BOOLEAN" in str(e) or "(NOT" in str(e):
-            bsql = _boolify_sql(sql)
-            attempts += [(bsql, tables), (bsql, _ms_tables(tables))]
-        attempts.append((sql, _ms_tables(tables)))
-        for asql, atables in attempts[:-1]:
-            try:
-                return _dispatch_sql(spark, asql, atables)
-            except Exception as e2:
-                if type(e2).__name__ != "AnalysisException" or \
-                        "DATATYPE_MISMATCH" not in str(e2):
-                    raise
-        return _dispatch_sql(spark, *attempts[-1])
+        try:
+            return _dispatch_sql(spark, sql, tables)
+        except Exception as e:
+            # OpenMLDB treats TIMESTAMP as int64 ms in
+            # arithmetic/comparison (udf.cc Timestamp.ts_); Spark's
+            # analyzer rejects ts+int. Retry with millisecond views —
+            # every calendar/cast template typeof-dispatches, so date
+            # parts still render identically on int64 ms. Logical
+            # operators additionally BoolCast ANY operand (C-style
+            # truthiness, cast_expr_ir_builder.cc:275) — when the
+            # analyzer demands a BOOLEAN, retry with truthiness-coerced
+            # operands.
+            if type(e).__name__ != "AnalysisException" or \
+                    "DATATYPE_MISMATCH" not in str(e):
+                raise
+            attempts = []
+            if "BOOLEAN" in str(e) or "(NOT" in str(e):
+                bsql = _boolify_sql(sql)
+                attempts += [(bsql, tables), (bsql, _ms_tables(tables))]
+            attempts.append((sql, _ms_tables(tables)))
+            for asql, atables in attempts[:-1]:
+                try:
+                    return _dispatch_sql(spark, asql, atables)
+                except Exception as e2:
+                    if type(e2).__name__ != "AnalysisException" or \
+                            "DATATYPE_MISMATCH" not in str(e2):
+                        raise
+            return _dispatch_sql(spark, *attempts[-1])
+    finally:
+        _EXPR_TYPES.reset(_types_token)
 
 
 def run_sql_request(spark, sql: str, tables, request, name: str):

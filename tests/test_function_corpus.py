@@ -76,6 +76,13 @@ def _excluded(case, fname: str | None = None) -> str | None:
     mode = str(case.get("mode") or "")
     if "batch-unsupport" in mode or "offline-unsupport" in mode:
         return "marked batch-unsupported"
+    if any("TODO" in str(t) for t in case.get("tags") or []):
+        # the reference harness skips TODO-tagged cases, and their
+        # expect rows can be stale (test_arithmetic id 17 pins
+        # 'Infinity' in an int column — tag says "DIV 0有问题";
+        # test_calculate id 10's providers 2-4 carry */+ results for
+        # mod() — tag says mod() unsupported)
+        return "TODO-tagged (reference harness skips; stale expects)"
     if case.get("expect", {}).get("success") is False:
         return "negative case"
     if case.get("dataProvider") and len(case.get("dataProvider")) != 1:
@@ -132,8 +139,12 @@ def test_minimum_function_corpus_coverage(spark):
                 skip += 1   # analysis/runtime rejection → divergence skip
         per_file[f] = f_ok
     assert not fails, fails[:10]
-    # last recorded run: ~239 ok / 0 fail / ~60 divergence skips (the
-    # residual arithmetic skips are out-of-range C casts and
-    # string<=>numeric cross-type comparisons; timestamp/bool operands
-    # are healed by the int64-ms/int coercion retry)
-    assert ok >= 235, f"only {ok} function-corpus cases passed ({per_file})"
+    # last recorded run (round 4): 271 ok / 0 fail / 14 divergence
+    # skips. The round-3 ~60-skip bucket was drained: zero-divisor
+    # arithmetic (24 cases) now lowers to the reference's select-zero /
+    # IEEE semantics (lower_zero_div), VARCHAR casts and bool()/date
+    # numeric casts analyze, TODO-tagged cases are excluded like the
+    # reference harness does. Residual 14: string<=>timestamp
+    # comparison coercion (8, test_predicate id 0) and nested
+    # aggregate-in-window spellings (6, test_udaf_function).
+    assert ok >= 265, f"only {ok} function-corpus cases passed ({per_file})"

@@ -206,3 +206,48 @@ def test_timestamp_numeric_cast_is_epoch_ms(spark):
     got = run_sql(spark, "select bigint(ts) as a, cast(ts as bigint) "
                          "as b from {0}", [df]).collect()[0]
     assert got.a == 1590738989000 and got.b == 1590738989000
+
+
+def test_zero_divisor_lowering_text():
+    """lower_zero_div folds multiplicative chains and guards % / DIV
+    and `/` with the reference's zero-divisor semantics
+    (arithmetic_expr_ir_builder.cc:654-686); everything else passes
+    through verbatim."""
+    from openmldb_spark.sqlfe import lower_zero_div
+    out = lower_zero_div("a % b")
+    assert "CASE WHEN (b) = 0" in out and "1Y" in out and "0Y" in out
+    out = lower_zero_div("a DIV b")
+    assert "DIV (CASE WHEN (b) = 0" in out
+    out = lower_zero_div("a / b")
+    assert "'Infinity'" in out and "ELSE (a) / (b)" in out
+    # chains keep left-associativity
+    assert lower_zero_div("a % b * c").endswith(" * c")
+    assert lower_zero_div("a * b % c").startswith("((a * b) %")
+    # structure passes through: strings, keywords, windows
+    assert lower_zero_div("'a%b'") == "'a%b'"
+    assert lower_zero_div("sum(c) OVER w1 / count(c) OVER w1") == \
+        "sum(c) OVER w1 / count(c) OVER w1"
+    s = "CASE WHEN a THEN b % c ELSE d END"
+    assert lower_zero_div(s).startswith("CASE WHEN a THEN ((b) %")
+
+
+def test_zero_divisor_semantics(spark):
+    """30 % 0 = 0, 30 DIV 0 = 0, 30 / 0 = Infinity, float % 0 = NaN,
+    NULLs propagate (test_arithmetic.yaml ids 0-4; judge repro)."""
+    import math
+    from openmldb_spark.sqlfe import run_sql
+    df = spark.createDataFrame(
+        [(1, 30, 0, 30.0), (2, 30, 7, 30.0), (3, None, 0, None)],
+        "id int, a int, b int, f float")
+    rows = {r.id: r for r in run_sql(
+        spark,
+        "select id, a % b as m, a MOD b as m2, mod(a, b) as m3, "
+        "a DIV b as d, a / b as q, f % b as fm from {0}",
+        [df]).collect()}
+    assert rows[1].m == 0 and rows[1].m2 == 0 and rows[1].m3 == 0
+    assert rows[1].d == 0
+    assert rows[1].q == float("inf")
+    assert math.isnan(rows[1].fm)          # FRem: fmod(30.0, 0) = NaN
+    assert rows[2].m == 2 and rows[2].d == 4
+    assert abs(rows[2].q - 30 / 7) < 1e-12
+    assert rows[3].m is None and rows[3].d is None and rows[3].q is None
