@@ -131,12 +131,19 @@ def _nvl2(x, a, b) -> Column:
     return F.when(_col(x).isNotNull(), _col(a)).otherwise(_col(b))
 
 
+def _empty_str_array() -> Column:
+    """Typed empty list — a bare F.array() is array<void>, which can
+    fail analysis or mistype downstream consumers (fz_join expects
+    array<string>). Built lazily: Column construction needs the JVM."""
+    return F.array().cast("array<string>")
+
+
 def _fz_split(s, delim) -> Column:
     """fz_split (feature_zero_def.cc:181-226): string → list by
     delimiter; NULL input or empty delimiter → EMPTY list."""
     if not delim:
-        return F.array()
-    return F.when(_col(s).isNull(), F.array()) \
+        return _empty_str_array()
+    return F.when(_col(s).isNull(), _empty_str_array()) \
             .otherwise(F.split(_col(s), delim))
 
 
@@ -150,7 +157,7 @@ def _fz_kv_entries(s, delim1: str, kv_delim: str) -> Column:
 def fz_split_by_key(s, delim1: str, kv_delim: str) -> Column:
     """fz_split_by_key: 'k1:v1,???,k2:v2' → [k1, k2]."""
     if not kv_delim:
-        return F.array()
+        return _empty_str_array()
     return F.transform(_fz_kv_entries(s, delim1, kv_delim),
                        lambda x: F.substring_index(x, kv_delim, 1))
 
@@ -159,7 +166,7 @@ def fz_split_by_value(s, delim1: str, kv_delim: str) -> Column:
     """fz_split_by_value: the segment between the 1st and 2nd kv
     delimiter of each kv entry ('k1:v1:w,???' → [v1])."""
     if not kv_delim:
-        return F.array()
+        return _empty_str_array()
     return F.transform(_fz_kv_entries(s, delim1, kv_delim),
                        lambda x: F.element_at(F.split(x, kv_delim), 2))
 

@@ -329,10 +329,14 @@ def window_agg(
     )
     prim_types = {f.name: f.dataType for f in df.schema.fields}
     for ui, u in enumerate(union or []):
+        # coerce FIRST, then derive ORD from the coerced frame — a
+        # timestamp order column aligned to an int64-ms primary must
+        # read as milliseconds, not a seconds-based long cast
+        ucoerced = u.select(*[_coerce_union_col(u, c, prim_types[c])
+                              for c in needed_cols if c in u.columns])
         upart = (
-            u.select(*[_coerce_union_col(u, c, prim_types[c])
-                       for c in needed_cols if c in u.columns])
-            .withColumn(ORD, _order_col(u, spec.order_by))
+            ucoerced
+            .withColumn(ORD, _order_col(ucoerced, spec.order_by))
             .withColumn(PRIMARY, F.lit(0).cast("int"))
             # equal-ts ties: later-listed union tables sort older
             # (test_window_union.yaml id 19)
@@ -385,8 +389,19 @@ def window_agg(
             out_dtypes[a.alias] = pdt
     out_schema = T.StructType(out_fields)
 
+    # min/max path selection decided ONCE from the Spark schema (string/
+    # date/timestamp columns order ordinally; numerics go through the
+    # sparse-table kernel) instead of a per-group value sniff
+    _ordinal_types = (T.StringType, T.DateType, T.TimestampType)
+    ordinal_cols = frozenset(
+        a.col for a in aggs
+        if a.func in ("min", "max", "min_where", "max_where")
+        and a.col in in_fields
+        and isinstance(in_fields[a.col].dataType, _ordinal_types))
+
     def kernel(pdf):
-        return wk.group_window_features(pdf, spec, aggs, keep_cols, out_dtypes)
+        return wk.group_window_features(pdf, spec, aggs, keep_cols,
+                                        out_dtypes, ordinal_cols)
 
     # Explicit partition count: AQE's size-based coalescing merges the
     # (byte-small) shuffle into 1-2 partitions, serializing the Python

@@ -502,8 +502,13 @@ def group_window_features(
     aggs: list[Agg],
     keep_cols: list[str],
     out_dtypes: dict | None = None,
+    ordinal_cols: frozenset | None = None,
 ) -> pd.DataFrame:
     """Compute all window aggregates of one group in one pass.
+
+    ``ordinal_cols``: min/max agg columns that take the ordinal
+    (lexicographic/ISO) path, decided once from the Spark schema by the
+    caller; None = legacy per-group value sniff (test harness callers).
 
     ``pdf`` must contain ORD (int64), PRIMARY, EXPANDED plus every column an
     agg references. Returns emit rows (primary & not expanded) with
@@ -616,20 +621,31 @@ def group_window_features(
                 # = 0/0 = a REAL double NaN, never NULL (pinned by
                 # fz_ddl/test_myhug.yaml avg_75='nan' next to max=NULL).
                 # An explicit-mask FloatingArray carries NaN through
-                # Arrow (plain float64 NaN would be read as null).
+                # Arrow (plain float64 NaN would be read as null) —
+                # built only when an empty frame actually occurred
+                # (rare); the common all-frames-populated group keeps
+                # the plain ndarray fast path.
                 vals = np.where(c > 0, s / np.maximum(c, 1), np.nan)
-                out[alias] = pd.arrays.FloatingArray(
-                    vals, np.zeros(len(vals), dtype=bool))
-                continue
+                if (c == 0).any():
+                    out[alias] = pd.arrays.FloatingArray(
+                        vals, np.zeros(len(vals), dtype=bool))
+                    continue
             else:
                 vals = c
             out[alias] = vals
         elif f in ("min", "max", "min_where", "max_where"):
             cond = agg.cond if f.endswith("_where") else None
-            if not pd.api.types.is_numeric_dtype(pdf[col]) and \
-                    not pdf[col].map(
+            if ordinal_cols is not None:
+                # decided ONCE from the Spark schema by the caller —
+                # avoids a per-group per-row .map type sniff
+                use_ordinal = col in ordinal_cols
+            else:
+                use_ordinal = (
+                    not pd.api.types.is_numeric_dtype(pdf[col])
+                    and not pdf[col].map(
                         lambda v: v is None or isinstance(v, (int, float))
-                    ).all():
+                    ).all())
+            if use_ordinal:
                 # string/date columns: ordinal-encode (sorted order ==
                 # lexicographic/ISO order) then reuse the numeric
                 # sparse-table machinery (MinUdafDef<StringRef>)
@@ -652,10 +668,16 @@ def group_window_features(
             # output flag stays unset when Update never ran (avg differs:
             # 0/0 emits a double NaN — fz_ddl/test_myhug.yaml pins
             # max=NULL vs avg=NaN over the same empty frame). Nullable
-            # Float64 keeps the NULL-vs-NaN distinction through Arrow.
-            res = pd.array(vals, dtype="Float64")
-            res[vals == fill] = pd.NA
-            out[alias] = res
+            # Float64 keeps the NULL-vs-NaN distinction through Arrow —
+            # built only when an empty frame actually occurred; the
+            # common case stays a plain ndarray.
+            empty = vals == fill
+            if empty.any():
+                res = pd.array(vals, dtype="Float64")
+                res[empty] = pd.NA
+                out[alias] = res
+            else:
+                out[alias] = vals
         elif f == "first_value":
             # first_value = newest FRAME row (frame-bound, end-bound
             # exclusions apply — github.com/4paradigm/OpenMLDB#1587,

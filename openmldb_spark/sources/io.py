@@ -165,16 +165,62 @@ def _write_single_csv(df: DataFrame, path: str, opts: dict,
         # quote disabled (NUL): univocity still wraps values containing
         # the delimiter in NUL quotes — the reference exporter writes
         # them raw (and a later LOAD fails on the shifted columns,
-        # out_in corpus id 34), so strip the NUL bytes
+        # out_in corpus id 34), so unwrap ONLY the NUL quote wrappers
+        # (a legitimate NUL byte inside field data survives)
         raw = opts.get("quote") == "\u0000"
+        sep = str(opts.get("sep", opts.get("delimiter", ","))).encode()
         write_mode = "ab" if (exists and mode == "append") else "wb"
         with open(path, write_mode) as out:
             for p in parts:
                 with open(p, "rb") as f:
                     data = f.read()
-                    out.write(data.replace(b"\x00", b"") if raw else data)
+                    out.write(_unwrap_nul_quotes(data, sep)
+                              if raw else data)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _unwrap_nul_quotes(data: bytes, sep: bytes) -> bytes:
+    """Remove univocity's NUL quote wrappers from a csv byte stream
+    written with quote=NUL, preserving NUL bytes that are field DATA.
+    A quote wrapper opens only at field start (line start or right
+    after the delimiter); inside a quoted field an escaped quote char
+    (backslash+NUL per Spark's default escape, or a doubled NUL)
+    decodes to one literal NUL byte."""
+    out = bytearray()
+    i, n = 0, len(data)
+    field_start, in_quote = True, False
+    while i < n:
+        b = data[i]
+        if in_quote:
+            if b == 0x5C and i + 1 < n and data[i + 1] == 0:
+                out.append(0)
+                i += 2
+            elif b == 0:
+                if i + 1 < n and data[i + 1] == 0:
+                    out.append(0)
+                    i += 2
+                else:
+                    in_quote = False
+                    i += 1
+            else:
+                out.append(b)
+                i += 1
+            continue
+        if field_start and b == 0:
+            in_quote = True
+            field_start = False
+            i += 1
+            continue
+        if sep and data[i:i + len(sep)] == sep:
+            out.extend(sep)
+            i += len(sep)
+            field_start = True
+            continue
+        field_start = b == 0x0A
+        out.append(b)
+        i += 1
+    return bytes(out)
 
 
 # -- statement-level front end ---------------------------------------------

@@ -1647,9 +1647,14 @@ def _boolify_sql(sql: str) -> str:
     truthiness-coerced logical operands (test_logic.yaml: `!c2`,
     `c2=2 and (c2-1)`, string/date/timestamp logical operands)."""
     masked = _mask_strings(sql)
-    m = re.search(r"(?is)\bselect\b(.*?)\bfrom\b", masked)
-    if m:
-        body = sql[m.start(1):m.end(1)]
+    # the projection body ends at the first FROM at paren depth 0 — a
+    # FROM inside a scalar sub-query in the select list must not bind
+    sm = re.search(r"(?is)\bselect\b", masked)
+    fm = next((f for f in _depth0_finditer(masked, r"(?is)\bfrom\b")
+               if sm and f.start() >= sm.end()), None)
+    if sm and fm:
+        m_start, m_end = sm.end(), fm.start()
+        body = sql[m_start:m_end]
         items = []
         for item in split_projection(body):
             am = re.fullmatch(r"(?is)(.+?)\s+as\s+(\w+)\s*",
@@ -1659,8 +1664,8 @@ def _boolify_sql(sql: str) -> str:
                              + f" as {am.group(2)}")
             else:
                 items.append(_boolify_expr(item))
-        sql = sql[:m.start(1)] + " " + ", ".join(items) + " " \
-            + sql[m.end(1):]
+        sql = sql[:m_start] + " " + ", ".join(items) + " " \
+            + sql[m_end:]
         masked = _mask_strings(sql)
     for clause in ("where", "having"):
         cm = re.search(
@@ -1689,10 +1694,11 @@ def resolve_databases(sql: str, tables: dict, default_db: str | None):
             flat[mapping[(db, name)]] = df
         else:
             flat[key] = df
-    # qualified refs db.name / db.name.col → flat alias
+    # qualified refs db.name / db.name.col → flat alias (string-masked:
+    # a literal 'db1.t0' in a projection must NOT be rewritten)
     for (db, name), alias in mapping.items():
-        sql = re.sub(rf"\b{re.escape(db)}\s*\.\s*{re.escape(name)}\b",
-                     alias, sql)
+        sql = _sub_outside_strings(
+            rf"\b{re.escape(db)}\s*\.\s*{re.escape(name)}\b", alias, sql)
     names = {n for (_, n) in mapping}
     if default_db:
         # qualifying ANY name (incl. a sub-query alias) with the default
@@ -1701,8 +1707,8 @@ def resolve_databases(sql: str, tables: dict, default_db: str | None):
         # fail resolution (id 8). Runs before the unknown-db check so a
         # default-db-qualified sub-query alias that shadows a catalog
         # name still resolves to the alias.
-        sql = re.sub(rf"\b{re.escape(default_db)}\s*\.\s*(\w+)", r"\1",
-                     sql)
+        sql = _sub_outside_strings(
+            rf"\b{re.escape(default_db)}\s*\.\s*(\w+)", r"\1", sql)
     # a leftover qualified ref to a known table name = unknown database
     for m in re.finditer(r"\b(\w+)\s*\.\s*(\w+)\b", _mask_strings(sql)):
         db, name = m.group(1), m.group(2)
@@ -1710,13 +1716,15 @@ def resolve_databases(sql: str, tables: dict, default_db: str | None):
             raise SqlUnsupported(
                 f"unknown database {db!r} for table {name!r}")
     # bare refs resolve in the default database only (table positions +
-    # dotted column refs)
+    # dotted column refs); searches on masked text so string literals
+    # containing table names don't trigger resolution
+    masked = _mask_strings(sql)
     for name in names:
         n = re.escape(name)
         if not re.search(rf"(?:\bfrom\s+|\bjoin\s+|\bunion\s+){n}\b"
-                         rf"|\b{n}\s*\.", sql, re.IGNORECASE):
+                         rf"|\b{n}\s*\.", masked, re.IGNORECASE):
             continue
-        if re.search(rf"\)\s*as\s+{n}\b", sql, re.IGNORECASE):
+        if re.search(rf"\)\s*as\s+{n}\b", masked, re.IGNORECASE):
             # a sub-query alias shadows the catalog name (id 9:
             # `(select * from db1.t0) as t1 ... t1.c1`)
             continue
@@ -1727,9 +1735,11 @@ def resolve_databases(sql: str, tables: dict, default_db: str | None):
             raise SqlUnsupported(
                 f"table {name!r} not in default database "
                 f"{default_db!r} (reference: fail to resolve)")
-        sql = re.sub(rf"((?:\bfrom|\bjoin|\bunion)\s+){n}\b",
-                     rf"\g<1>{alias}", sql, flags=re.IGNORECASE)
-        sql = re.sub(rf"\b{n}\s*\.", f"{alias}.", sql)
+        sql = _sub_outside_strings(
+            rf"((?:\bfrom|\bjoin|\bunion)\s+){n}\b", rf"\g<1>{alias}",
+            sql, flags=re.IGNORECASE)
+        sql = _sub_outside_strings(rf"\b{n}\s*\.", f"{alias}.", sql)
+        masked = _mask_strings(sql)
     return sql, flat
 
 
@@ -1832,10 +1842,12 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
             for asql, atables in attempts[:-1]:
                 try:
                     return _dispatch_sql(spark, asql, atables)
-                except Exception as e2:
-                    if type(e2).__name__ != "AnalysisException" or \
-                            "DATATYPE_MISMATCH" not in str(e2):
-                        raise
+                except Exception:
+                    # an intermediate rewrite may itself fail to parse
+                    # (e.g. _boolify_sql on an exotic projection) — fall
+                    # through to the remaining attempts; the final one
+                    # runs the ORIGINAL sql so real errors resurface
+                    pass
             return _dispatch_sql(spark, *attempts[-1])
     finally:
         _EXPR_TYPES.reset(_types_token)
@@ -1865,6 +1877,16 @@ def run_sql_request(spark, sql: str, tables, request, name: str):
     hist = tables[name]
     sql = _strip_backticks(sql)
     masked = _mask_strings(sql)
+    # A depth-0 set operation has no single request primary table — the
+    # reference's request-mode planner fails to resolve it
+    # (cases/plan/error_request_query.yaml id 0: "resolve请求主表失败").
+    # Window UNION lives inside the window-def parens, so depth 0 is
+    # unambiguous here.
+    if any(True for _ in _depth0_finditer(
+            masked, r"(?is)\bunion\b(?:\s+all\b)?")):
+        raise SqlUnsupported(
+            "request mode: cannot resolve the request primary table "
+            "across a set operation (reference rejects)")
     if re.search(rf"\bjoin\s+{re.escape(name)}\b", masked, re.IGNORECASE):
         raise SqlUnsupported(
             f"request table {name!r} on a JOIN right side: the stored "
@@ -2276,8 +2298,11 @@ def _run_window_sql(sql: str, tables: list, limit: int | None = None):
                     f"{[n for n, _ in p_fields]}")
             for (pn, pt), (_, ut) in zip(p_fields, u_fields):
                 import pyspark.sql.types as Ty
-                ints = (Ty.ByteType, Ty.ShortType, Ty.IntegerType,
-                        Ty.LongType, Ty.TimestampType)
+                # int64<->timestamp ONLY (OpenMLDB timestamps ARE int64
+                # ms); narrower int-width mismatches are errors — the
+                # reference's schema check is exact apart from this pair
+                # (test_window_union.yaml id 2 rejects a retyped column)
+                ints = (Ty.LongType, Ty.TimestampType)
                 # decimal only arises from Spark-side arithmetic typing
                 # (OpenMLDB has no decimal type) — logically a double;
                 # float vs double stays a mismatch (the reference's

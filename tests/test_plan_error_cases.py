@@ -2,9 +2,8 @@
 
     cases/plan/error_unsupport_sql.yaml   (constructs hybridse rejects)
     cases/plan/error_query.yaml
-
-(error_request_query.yaml is excluded: its cases carry
-``mode: batch-unsupport`` — the rejection is request-mode-only.)
+    cases/plan/error_request_query.yaml   (request-mode-only rejections,
+                                           replayed through run_sql_request)
 
 Each case is a bare statement (no inputs, no expect) that the
 reference's planner refuses (plan_test.cc loads these files in the
@@ -74,4 +73,34 @@ def test_plan_error_case(fname, sql, spark):
         "SqlUnsupported", "ParseException", "AnalysisException",
         "IllegalArgumentException", "Unsupported", "KeyError",
         "ValueError", "Py4JJavaError", "SparkRuntimeException",
+    ), exc.value
+
+
+def _load_request_errors():
+    f = "/root/reference/cases/plan/error_request_query.yaml"
+    out = []
+    for c in yaml.safe_load(open(f))["cases"]:
+        out.append(pytest.param(str(c["sql"]), id=f"req_err::{c['id']}"))
+    return out
+
+
+@pytest.mark.parametrize("sql", _load_request_errors())
+def test_request_mode_plan_error_case(sql, spark):
+    """Request-mode planning negatives (both corpus cases are
+    "resolve请求主表失败" — the request primary table cannot be
+    resolved: id 0 a depth-0 UNION ALL of two selects, id 1 a LEFT
+    JOIN whose right side is a derived sub-select). run_sql_request
+    must refuse, never return a clean result."""
+    from openmldb_spark.sqlfe import run_sql_request
+    t1 = spark.sql("select 1 as col1, 2 as col2, 3 as c1, 4 as c2")
+    t2 = spark.sql("select 1 as col1, 2 as col2, 3 as c1, 4 as c2")
+    tt = spark.sql("select 1 as col1, 2 as col2")
+    req = spark.sql("select 9 as col1, 8 as col2, 7 as c1, 6 as c2")
+    with pytest.raises(Exception) as exc:
+        run_sql_request(
+            spark, sql, {"t1": t1, "t2": t2, "tt": tt}, req, "t1"
+        ).collect()
+    assert exc.type.__name__ in (
+        "SqlUnsupported", "ParseException", "AnalysisException",
+        "Py4JJavaError",
     ), exc.value
