@@ -65,6 +65,12 @@ HEADLINE = [
     "sql_batch_request",
     "embedding_near_dups_lsh",
     "multimodal_features",
+    # round 4: reference comparison-coercion semantics (lexical
+    # string-mixed compares), nested aggregates in sum (algebraic
+    # lowering), anchor-relative count_where (kernel cond_anchor)
+    "string_cmp_coercion",
+    "window_nested_agg",
+    "window_anchor_count_where",
 ]
 
 

@@ -254,17 +254,27 @@ def window_agg(
             spec, partition_by=tuple(keys), order_by=_ci(spec.order_by),
             tiebreak=tuple(_ci(c) for c in spec.tiebreak))
     if any((a.col and a.col not in have) or (a.cond and a.cond not in have)
-           or (a.cate and a.cate not in have) for a in aggs):
+           or (a.cate and a.cate not in have)
+           or (a.cond_anchor and a.cond_anchor not in have) for a in aggs):
         import dataclasses
         aggs = [dataclasses.replace(a, col=_ci(a.col), cond=_ci(a.cond),
-                                    cate=_ci(a.cate)) for a in aggs]
+                                    cate=_ci(a.cate),
+                                    cond_anchor=_ci(a.cond_anchor))
+                for a in aggs]
 
     # fail fast with a readable error instead of a deep analysis trace
     missing = [c for c in [*keys, spec.order_by, *spec.tiebreak, *keep_cols]
                if c not in have]
     for a in aggs:
-        missing += [c for c in (a.col, a.cond, a.cate)
+        missing += [c for c in (a.col, a.cond, a.cate, a.cond_anchor)
                     if c is not None and c not in have]
+        # first_value(x) == the anchor row only when the frame ends at
+        # CURRENT ROW (non-open); an anchor-relative condition derived
+        # from it is otherwise not expressible
+        if a.cond_anchor_fv and (spec.end_delta != 0 or spec.end_open):
+            raise ValueError(
+                "anchor-relative first_value condition requires a frame "
+                "ending at CURRENT ROW")
     if missing:
         raise ValueError(
             f"window_agg: column(s) {sorted(set(missing))} not in input "
@@ -484,6 +494,9 @@ def _builtin_ok(spec: WindowSpec, aggs: list[Agg], union) -> bool:
     # first_value is only equivalent when the frame end is CURRENT ROW
     if spec.end_delta != 0:
         ok_funcs.discard("first_value")
+    # anchor-relative *_where conditions are kernel-only
+    if any(a.cond_anchor for a in aggs):
+        return False
     return all(a.func in ok_funcs for a in aggs)
 
 

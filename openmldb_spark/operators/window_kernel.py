@@ -590,6 +590,30 @@ def group_window_features(
 
     for agg in aggs:
         f, col, alias = agg.func, agg.col, agg.alias
+        if f == "count_where" and agg.cond_anchor:
+            # anchor-relative equality condition: count frame rows whose
+            # `cond` value equals the ANCHOR row's `cond_anchor` value
+            # (count_where(id, c1 = lag(c1, 0)) —
+            # test_udaf_function.yaml ids 47-49). Per-anchor slice scan:
+            # same asymptotics as the reference's per-frame UDAF loop.
+            cc = pd.factorize(pd.concat(
+                [pdf[agg.cond], pdf[agg.cond_anchor]],
+                ignore_index=True))[0]
+            rc, ac = cc[:n], cc[n:]
+            valid = pdf[col].notna().to_numpy(bool)
+            rc_e, ve = rc[idx_e], valid[idx_e]
+            res = np.zeros(len(E), dtype=np.float64)
+            for k in range(len(E)):
+                a = ac[E[k]]
+                if a < 0:   # anchor-side NULL: condition never true
+                    continue
+                sl = slice(lo[k], hi[k])
+                cnt = int(np.count_nonzero((rc_e[sl] == a) & ve[sl]))
+                if anchored[k] and rc[E[k]] == a and valid[E[k]]:
+                    cnt += 1
+                res[k] = cnt
+            out[alias] = res
+            continue
         if f in ("sum", "avg", "count", "sum_where", "avg_where", "count_where"):
             cond = agg.cond if f.endswith("_where") else None
             if f.startswith("count") and not pd.api.types.is_numeric_dtype(

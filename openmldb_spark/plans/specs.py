@@ -75,6 +75,15 @@ class Agg:
     param: int | str | None = None
     cond: str | None = None
     cate: str | None = None
+    # anchor-relative *_where condition (cases/function/function/
+    # test_udaf_function.yaml ids 47-49: ``count_where(id, c1 =
+    # lag(c1, 0))``): the condition is ``cond == cond_anchor-at-the-
+    # anchor-row`` — frame rows whose ``cond`` value equals the anchor
+    # row's ``cond_anchor`` value. lag(x, 0)/at(x, 0) always denote the
+    # anchor row; first_value(x) does only when the frame ends at
+    # CURRENT ROW (cond_anchor_fv marks that requirement).
+    cond_anchor: str | None = None
+    cond_anchor_fv: bool = False
     delim: str | None = None      # window_split*: row delimiter
     kv_delim: str | None = None   # window_split_by_{key,value}
     sep: str = ","                # output join separator (fz_join)

@@ -1391,6 +1391,98 @@ GROUP BY r.conv_id, r.turn_idx, r.value
 """)
 
 
+def q_string_cmp_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-mixed comparison semantics (round 4): the reference casts
+    the NON-string side of a comparison to string and compares lexically
+    (PredicateIRBuilder::InferAndCastTypes,
+    predicate_expr_ir_builder.cc:657-666) — timestamps render at fixed
+    UTC+8 "%Y-%m-%d %H:%M:%S", doubles drop a trailing ".0". Lowered
+    statically by sqlfe.lower_string_cmp (branch-free, pushdown-safe)."""
+    from openmldb_spark.sqlfe import run_sql
+    t = transcripts_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "value")
+    sql = ("select conv_id, turn_idx, "
+           "text > turn_idx as b1, "
+           "text <= value as b2, "
+           "text < ts as b3, "
+           "role != turn_idx as b4 "
+           "from {0}")
+    return run_sql(spark, sql, [t])
+
+
+SQL_STRING_CMP_COERCION = transcripts_sql("""
+SELECT conv_id, turn_idx,
+       text > CAST(turn_idx AS VARCHAR) AS b1,
+       text <= regexp_replace(CAST(value AS VARCHAR), '\\.0$', '') AS b2,
+       text < strftime(make_timestamp(ts_ms * 1000) + INTERVAL 8 HOUR,
+                       '%Y-%m-%d %H:%M:%S') AS b3,
+       role <> CAST(turn_idx AS VARCHAR) AS b4
+FROM transcripts
+""")
+
+
+def q_window_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates nested inside a window aggregate's argument (round 4):
+    the inner aggregate evaluates over the ANCHOR's frame — a frame
+    constant — so sum(v - count(v)) == sum(v) - count(v)^2
+    (test_udaf_function.yaml id 43 pins the values); lowered
+    algebraically to plain same-window kernel aggregates
+    (sqlfe._lower_nested_sum)."""
+    from openmldb_spark.sqlfe import run_sql
+    t = transcripts_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "ts_ms", "value")
+    sql = ("select conv_id, turn_idx, "
+           "round(sum(value - count(value)) over w, 3) as nsum, "
+           "sum(turn_idx + count(turn_idx)) over w as isum "
+           "from {0} window w as (partition by conv_id order by ts_ms "
+           "rows between 5 preceding and current row)")
+    return run_sql(spark, sql, [t])
+
+
+SQL_WINDOW_NESTED_AGG = transcripts_sql("""
+SELECT conv_id, turn_idx,
+       ROUND(SUM(value) OVER w
+             - COUNT(value) OVER w * COUNT(value) OVER w, 3) AS nsum,
+       CAST(SUM(turn_idx) OVER w
+            + COUNT(turn_idx) OVER w * COUNT(turn_idx) OVER w
+            AS BIGINT) AS isum
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts_ms
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+""")
+
+
+def q_window_anchor_count_where(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """count_where with an anchor-relative condition (round 4):
+    lag(role, 0) inside the condition denotes the ANCHOR row, so the
+    aggregate counts frame rows whose role equals the anchor's role
+    (test_udaf_function.yaml ids 47-49; kernel path Agg.cond_anchor)."""
+    from openmldb_spark.sqlfe import run_sql
+    t = transcripts_df(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "ts_ms")
+    sql = ("select conv_id, turn_idx, "
+           "count_where(turn_idx, role = lag(role, 0)) over w "
+           "as same_role "
+           "from {0} window w as (partition by conv_id order by ts_ms "
+           "rows between 5 preceding and current row)")
+    return run_sql(spark, sql, [t])
+
+
+SQL_WINDOW_ANCHOR_COUNT_WHERE = transcripts_sql("""
+, tr AS (SELECT conv_id, turn_idx, role, ts_ms,
+                ROW_NUMBER() OVER (PARTITION BY conv_id
+                                   ORDER BY ts_ms) AS rn
+         FROM transcripts)
+SELECT a.conv_id, a.turn_idx,
+       CAST((SELECT COUNT(*) FROM tr b
+             WHERE b.conv_id = a.conv_id
+               AND b.rn BETWEEN a.rn - 5 AND a.rn
+               AND b.role = a.role) AS BIGINT) AS same_role
+FROM tr a
+""")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1426,6 +1518,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_window_expr": q_sql_window_expr,
     "sql_prod_pipeline": q_sql_prod_pipeline,
     "sql_batch_request": q_sql_batch_request,
+    "string_cmp_coercion": q_string_cmp_coercion,
+    "window_nested_agg": q_window_nested_agg,
+    "window_anchor_count_where": q_window_anchor_count_where,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1471,6 +1566,9 @@ ORACLES: dict[str, str] = {
     "sql_window_expr": SQL_SQL_WINDOW_EXPR,
     "sql_prod_pipeline": SQL_SQL_PROD_PIPELINE,
     "sql_batch_request": SQL_SQL_BATCH_REQUEST,
+    "string_cmp_coercion": SQL_STRING_CMP_COERCION,
+    "window_nested_agg": SQL_WINDOW_NESTED_AGG,
+    "window_anchor_count_where": SQL_WINDOW_ANCHOR_COUNT_WHERE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,

@@ -294,6 +294,14 @@ _SQL_FN: dict = {
     # mod(a, b) is the function spelling of `%`; emit the bare operator
     # and let lower_zero_div apply the reference's zero-divisor guard
     "mod": lambda a, b: f"(({a}) % ({b}))",
+    # ifnull/nvl/nvl2: the value operands must have EXACTLY equal
+    # static types (no promotion — see _nvl_check); the call itself
+    # passes through to Spark's identically-named builtins
+    "ifnull": lambda a, b: (_nvl_check("ifnull", a, b)
+                            or f"ifnull({a}, {b})"),
+    "nvl": lambda a, b: (_nvl_check("nvl", a, b) or f"nvl({a}, {b})"),
+    "nvl2": lambda c, a, b: (_nvl_check("nvl2", a, b)
+                             or f"nvl2({c}, {a}, {b})"),
     "varchar": lambda a: _str8(a),
     "int16": lambda a: _num_cast(a, "smallint"),
     "int32": lambda a: _num_cast(a, "int"),
@@ -457,6 +465,13 @@ def _cast_tpl(arg: str) -> str | None:
         return _str8(inner)
     if typ in ("smallint", "int16", "int", "int32", "bigint", "int64",
                "float", "double"):
+        if re.fullmatch(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?",
+                        inner.strip()):
+            # numeric literal: no typeof dispatch needed — keeps the
+            # expression small AND statically typeable (try_cast for
+            # the same NULL-on-overflow behavior as _num_cast)
+            return f"try_cast({inner.strip()} as " \
+                   f"{_CAST_TYPES.get(typ, typ)})"
         # CAST syntax shares the function-cast's timestamp→epoch-ms rule
         return _num_cast(inner, _CAST_TYPES.get(typ, typ))
     return f"try_cast({inner} as {_CAST_TYPES.get(typ, typ)})"
@@ -831,6 +846,208 @@ def publish_expr_types(tables):
     return _EXPR_TYPES.set(types)
 
 
+# String-mixed comparison lowering: the reference's comparison codegen
+# casts the NON-string side of a comparison to string and compares
+# lexically whenever either operand is a string
+# (PredicateIRBuilder::InferAndCastTypes,
+# hybridse/src/codegen/predicate_expr_ir_builder.cc:657-666), and
+# SafeCastNumbers a bool against a numeric (0/1). Spark instead
+# implicit-casts the STRING side to the other type — ANSI-throwing on
+# unparseable input and numerically diverging otherwise
+# (cases/function/expression/test_predicate.yaml ids 0/3/6 value-check
+# the lexical semantics). Only statically-resolvable simple operands
+# (column refs, literals, single CASTs) are rewritten — anything more
+# complex keeps Spark's native comparison, and a branch-free rewrite
+# keeps filters pushdown-eligible when no mixed comparison exists.
+_SC_NUM_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+_SC_UNIT = (r"(?:'[^']*'|\"[^\"]*\"|CAST\s*\([^()]*\)"
+            r"|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*"
+            r"|[-+]?(?:\d+\.\d*|\.\d+|\d+)[fFlL]?)")
+_SC_KW_PRE = r"(?:and|or|not|xor|when|then|else|on|where|select|having|by)"
+_SC_KW_POST = (r"(?:and|or|then|else|end|when|as|from|where|group|order|"
+               r"limit|having|union|window|xor)")
+_SC_CMP_RE = re.compile(
+    rf"(?is)(?P<pre>(?:^|[(,]|\b{_SC_KW_PRE}\b)\s*)"
+    rf"(?P<l>{_SC_UNIT})\s*(?P<op><=>|>=|<=|<>|!=|==|[=<>])\s*"
+    rf"(?P<r>{_SC_UNIT})"
+    rf"(?=\s*(?:$|[;),]|\b{_SC_KW_POST}\b))")
+
+
+def _sc_type(expr: str) -> str | None:
+    """Static Spark type of a simple comparison operand: string/numeric/
+    bool literals type themselves, column refs resolve through the
+    published _EXPR_TYPES environment (LAST JOIN stage prefixes
+    stripped), single CASTs type as their target. None = unresolvable."""
+    t = expr.strip()
+    while t.startswith("(") and t.endswith(")") and \
+            _match_paren(t, 0) == len(t) - 1:
+        t = t[1:-1].strip()
+    if re.fullmatch(r"'[^']*'|\"[^\"]*\"", t, re.DOTALL):
+        return "string"
+    m = re.fullmatch(r"(?is)(?:TRY_)?CAST\s*\(.*\s+AS\s+(\w+)\s*\)", t)
+    if m:
+        typ = m.group(1).lower()
+        return {"varchar": "string", "integer": "int", "long": "bigint",
+                "bool": "boolean"}.get(typ, typ)
+    if re.fullmatch(r"[-+]?\d+[lL]", t):
+        return "bigint"
+    if re.fullmatch(r"[-+]?\d+", t):
+        # an unsuffixed integer literal is INT32 (hybridse IntLiteral;
+        # ifnull(int_col, 100) passes while ifnull(bigint_col, 100) is
+        # rejected — test_condition.yaml ids 10 vs 12)
+        return "int"
+    if re.fullmatch(r"[-+]?\d+[fF]", t) or re.fullmatch(
+            r"[-+]?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?[fF]?", t):
+        return "double"
+    low = t.lower()
+    if low in ("true", "false"):
+        return "boolean"
+    if low == "null":
+        return None
+    if re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", t):
+        types = _EXPR_TYPES.get()
+        if types is None:
+            return None
+        typ = types.get(low)
+        if typ is None and "." in low:
+            low = low.rsplit(".", 1)[1]
+            typ = types.get(low)
+        if typ is None:
+            base = re.sub(r"^(?:r__|__r2_|__j\d+_)", "", low)
+            if base != low:
+                typ = types.get(base)
+        return typ
+    return None
+
+
+_NUM_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+             "float": 4, "double": 5}
+
+
+def _split_muldiv(text: str) -> list[tuple[str, str]]:
+    """Split at depth-0 binary * / % into [(op, operand)]; first op
+    is ''. Strings and paren groups are opaque."""
+    parts, cur, i, n = [], [], 0, len(text)
+    op, prev_unit = "", False
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = _skip_str(text, i)
+            cur.append(text[i:j])
+            i = j
+            prev_unit = True
+            continue
+        if ch == "(":
+            p = _match_paren(text, i)
+            cur.append(text[i:p + 1])
+            i = p + 1
+            prev_unit = True
+            continue
+        if ch in "*/%" and prev_unit:
+            parts.append((op, "".join(cur).strip()))
+            cur, op, prev_unit = [], ch, False
+            i += 1
+            continue
+        if ch.isspace():
+            cur.append(ch)
+            i += 1
+            continue
+        m = re.match(r"[A-Za-z_]\w*|\d+\.?\d*", text[i:])
+        if m:
+            cur.append(m.group(0))
+            i += len(m.group(0))
+            prev_unit = True
+            continue
+        cur.append(ch)
+        i += 1
+        prev_unit = False
+    parts.append((op, "".join(cur).strip()))
+    return [(o, p) for o, p in parts if p]
+
+
+def _static_type(expr: str) -> str | None:
+    """Static type of an expression under the reference's arithmetic
+    typing: `/` is ALWAYS FDiv double (arithmetic_expr_ir_builder.cc
+    BuildFDivExpr), + - * % promote to the wider numeric operand;
+    operands resolve through _sc_type. None = unresolvable."""
+    t = expr.strip()
+    while t.startswith("(") and t.endswith(")") and \
+            _match_paren(t, 0) == len(t) - 1:
+        t = t[1:-1].strip()
+    terms = _split_addsub(t)
+    if len(terms) > 1:
+        return _promote([_static_type(x) for _, x in terms])
+    factors = _split_muldiv(t)
+    if len(factors) > 1:
+        if any(op == "/" for op, _ in factors):
+            return "double"
+        return _promote([_static_type(x) for _, x in factors])
+    return _sc_type(t)
+
+
+def _promote(typs: list) -> str | None:
+    if any(t is None or t not in _NUM_RANK for t in typs):
+        return None
+    return max(typs, key=lambda t: _NUM_RANK[t])
+
+
+def _nvl_check(fn: str, *args: str) -> None:
+    """ifnull/nvl(a, b) and nvl2(c, a, b) require a and b to have
+    EXACTLY the same static type — no promotion at all: ifnull(int,
+    100) passes but ifnull(bigint, 100), ifnull(bigint, 1.1),
+    ifnull(int, "abc") and ifnull(int / 0, 100) (FDiv double vs int)
+    are all rejected (test_condition.yaml ids 9-13, NVL2-2)."""
+    typs = [_static_type(a) for a in args]
+    known = [t for t in typs if t]
+    if len(known) == len(typs) and len(set(known)) > 1:
+        raise SqlUnsupported(
+            f"{fn} operand types {' vs '.join(known)} (reference "
+            f"requires equal types)")
+
+
+def _to_str_typed(expr: str, typ: str) -> str:
+    """Render a known-type operand the way the reference's
+    StringIRBuilder casts it: timestamps at fixed UTC+8 as
+    "%Y-%m-%d %H:%M:%S", float/double dropping a trailing ".0",
+    bool as true/false, date as "%Y-%m-%d" (same contract as _str8,
+    statically dispatched)."""
+    if typ == "timestamp":
+        return (f"date_format(from_utc_timestamp(({expr}), '+08:00'), "
+                f"'yyyy-MM-dd HH:mm:ss')")
+    if typ in ("float", "double"):
+        return f"regexp_replace(cast(({expr}) as string), '\\\\.0$', '')"
+    return f"cast(({expr}) as string)"
+
+
+def lower_string_cmp(text: str) -> str:
+    """Final translation pass (after rewrite_calls, so generated
+    date_format/cast text is never re-templated): rewrite comparisons
+    where exactly one simple operand is statically a string to the
+    reference's cast-nonstring-to-string lexical semantics, and
+    bool-vs-numeric comparisons to a 0/1 int cast."""
+    if _EXPR_TYPES.get() is None:
+        return text
+    spans = _string_spans(text)
+
+    def fix(m):
+        op = m.group("op")
+        if op == "<=>" or any(a < m.start("op") < b for a, b in spans):
+            return m.group(0)
+        l, r = m.group("l"), m.group("r")
+        lt, rt = _sc_type(l), _sc_type(r)
+        if lt == "string" and rt and rt != "string":
+            return f"{m.group('pre')}{l} {op} {_to_str_typed(r, rt)}"
+        if rt == "string" and lt and lt != "string":
+            return f"{m.group('pre')}{_to_str_typed(l, lt)} {op} {r}"
+        if lt == "boolean" and rt in _SC_NUM_TYPES:
+            return f"{m.group('pre')}cast(({l}) as int) {op} {r}"
+        if rt == "boolean" and lt in _SC_NUM_TYPES:
+            return f"{m.group('pre')}{l} {op} cast(({r}) as int)"
+        return m.group(0)
+
+    return _SC_CMP_RE.sub(fix, text)
+
+
 def _zd_guard_mod(a: str, b: str) -> str:
     # mirrors BuildModExpr: integer SRem swaps a 0 divisor for 1 and
     # selects the result back to 0; float FRem is IEEE fmod, where a 0
@@ -1024,7 +1241,7 @@ def translate_expr(text: str) -> str:
         " as string", text)
     text = rewrite_calls(text, lambda n, a: _SQL_FN[n](*a)
                          if n in _SQL_FN else None)
-    return lower_zero_div(text)
+    return lower_zero_div(lower_string_cmp(text))
 
 
 # --------------------------------------------------------------------------
@@ -1225,7 +1442,9 @@ def _parse_agg_call(fn: str, argtxt: str, aux: dict | None = None) -> dict:
     if fn not in KERNEL_AGG_FUNCS:
         raise SqlUnsupported(f"aggregate {fn!r}")
 
-    kw: dict = {"func": fn, "col": ident(args[0]) if args else "",
+    star = bool(args) and args[0].strip() == "*"
+    kw: dict = {"func": fn,
+                "col": "" if star else (ident(args[0]) if args else ""),
                 "param": None, "cond": None, "cate": None}
     if fn.startswith("top_n_key_") and fn.endswith("_cate_where"):
         # top_n_key_X_cate_where(value, cond, key, n)
@@ -1244,12 +1463,70 @@ def _parse_agg_call(fn: str, argtxt: str, aux: dict | None = None) -> dict:
     elif fn.endswith("_where"):
         if len(args) != 2:
             raise SqlUnsupported(f"{fn} needs (value, cond)")
-        kw["cond"] = ident(args[1])
+        anchor = _parse_anchor_cond(args[1])
+        if anchor is not None:
+            if fn != "count_where":
+                raise SqlUnsupported(
+                    f"{fn} with an anchor-relative condition")
+            row_side, anc_side, fv = anchor
+            kw["cond"] = ident(row_side)
+            kw["cond_anchor"] = ident(anc_side)
+            kw["cond_anchor_fv"] = fv
+        else:
+            kw["cond"] = ident(args[1])
     elif fn in ("lag", "at", "top", "top_n_frequency") and len(args) > 1:
         kw["param"] = int(args[1])
     elif len(args) > 1:
         raise SqlUnsupported(f"aggregate arguments {fn}({argtxt})")
+    if star:
+        # count_where(*, cond): count every condition-true frame row
+        # (test_udaf_function.yaml id 17 m10) — counted value = a
+        # never-null constant column, so only the condition filters
+        if fn == "count_where" and kw["cond"] and aux is not None:
+            one = "CAST(1 AS INT)"
+            if one not in aux:
+                aux[one] = f"__x{len(aux)}"
+            kw["col"] = aux[one]
+        else:
+            raise SqlUnsupported(f"{fn}(*) over a window")
     return kw
+
+
+_ANCHOR_CALL_RE = re.compile(
+    r"(?is)\b(?:lag|at)\s*\(\s*([A-Za-z_]\w*)\s*,\s*0\s*\)"
+    r"|\bfirst_value\s*\(\s*([A-Za-z_]\w*)\s*\)")
+
+
+def _parse_anchor_cond(text: str):
+    """Detect a *_where condition of the form ``rowexpr = anchorexpr``
+    where anchorexpr references the anchor row through lag(x, 0) /
+    at(x, 0) / first_value(x) (test_udaf_function.yaml ids 47-49,
+    ``count_where(id, ifnull(c1, "a") = ifnull(lag(c1, 0), "a"))``): the
+    reference resolves the nested window function against the enclosing
+    OVER's frame, where offset-0 lag (always) and first_value (when the
+    frame ends at CURRENT ROW) denote the anchor row itself. Returns
+    (row_side, anchor_side_with_calls_substituted, needs_current_end),
+    or None when the condition has no anchor-relative call."""
+    if not _ANCHOR_CALL_RE.search(text):
+        return None
+    masked = _mask_strings(text)
+    eqs = list(_depth0_finditer(masked, r"(?<![<>!=])==?(?!=)"))
+    if len(eqs) != 1:
+        raise SqlUnsupported("anchor-relative condition shape")
+    m = eqs[0]
+    left, right = text[:m.start()], text[m.end():]
+    lhas = bool(_ANCHOR_CALL_RE.search(left))
+    rhas = bool(_ANCHOR_CALL_RE.search(right))
+    if lhas == rhas:
+        raise SqlUnsupported("anchor-relative condition shape")
+    row_side, anc_side = (right, left) if lhas else (left, right)
+    fv = bool(re.search(r"(?i)\bfirst_value\s*\(", anc_side))
+    anc_sub = _ANCHOR_CALL_RE.sub(
+        lambda mm: mm.group(1) or mm.group(2), anc_side)
+    if _ANCHOR_CALL_RE.search(anc_sub) or re.search(
+            r"(?i)\b(?:lag|at|first_value)\s*\(", anc_sub):
+        raise SqlUnsupported("anchor-relative condition shape")
+    return row_side.strip(), anc_sub.strip(), fv
 
 
 # fz_* front-end spellings of kernel aggregates
@@ -1271,12 +1548,223 @@ class _AggAlloc:
             raise SqlUnsupported(f"unknown window {wname!r}")
         key = (wname, kw["func"], kw["col"], kw["param"], kw["cond"],
                kw["cate"], kw.get("delim"), kw.get("kv_delim"),
-               kw.get("sep"))
+               kw.get("sep"), kw.get("cond_anchor"))
         if key not in self.seen:
             alias = f"__e{len(self.seen)}"
             self.seen[key] = alias
             self.windows[wname][2].append(Agg(alias=alias, **kw))
         return self.seen[key]
+
+
+# ---- nested-aggregate-in-sum lowering --------------------------------
+# The reference evaluates an aggregate nested inside another window
+# aggregate's argument over the ANCHOR row's frame, recursively — i.e.
+# as a frame CONSTANT K per output row (value-verified against
+# cases/function/function/test_udaf_function.yaml id 43:
+# sum(c1 - count(c1)) == sum(c1) - count(c1)^2 over every frame, and
+# sum(c1 + sum(c2 * count(c3))) == sum(c1) + count(c1)*sum(c2)*count(c3)).
+# That makes the outer sum algebraically decomposable into plain
+# same-window aggregates stitched in the post-kernel projection:
+#     sum(R ± K) = sum(R) ± count(R) * K      (rows with NULL R are
+#     sum(R * K) = sum(R) * K                  skipped on both sides)
+# where R is a pure row expression and K is built from aggregates only.
+
+def _has_nested_agg_call(text: str) -> bool:
+    masked = _mask_strings(text)
+    if re.search(r"\b__e\d+\b", masked):
+        # an already-allocated placeholder (rewrite_calls resolves
+        # inner calls first) is an anchor-frame constant too
+        return True
+    for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\(", masked):
+        n = m.group(1).lower()
+        if n in KERNEL_AGG_FUNCS or n in _AGG_ALIASES:
+            return True
+    return False
+
+
+def _split_addsub(text: str) -> list[tuple[str, str]]:
+    """Split at depth-0 binary +/- into [(sign, term)]."""
+    terms, cur, sign = [], [], "+"
+    i, n, prev_unit = 0, len(text), False
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = _skip_str(text, i)
+            cur.append(text[i:j])
+            i = j
+            prev_unit = True
+            continue
+        if ch == "(":
+            p = _match_paren(text, i)
+            cur.append(text[i:p + 1])
+            i = p + 1
+            prev_unit = True
+            continue
+        if ch in "+-" and prev_unit:
+            terms.append((sign, "".join(cur).strip()))
+            cur, sign, prev_unit = [], ch, False
+            i += 1
+            continue
+        if ch.isspace():
+            cur.append(ch)
+            i += 1
+            continue
+        m = re.match(r"[A-Za-z_]\w*|\d+\.?\d*", text[i:])
+        if m:
+            cur.append(m.group(0))
+            i += len(m.group(0))
+            prev_unit = True
+            continue
+        cur.append(ch)
+        i += 1
+        prev_unit = False
+    terms.append((sign, "".join(cur).strip()))
+    return [(s, t) for s, t in terms if t]
+
+
+def _split_mul(text: str) -> list[str]:
+    """Split at depth-0 '*' into factors."""
+    parts, cur, i, n = [], [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = _skip_str(text, i)
+            cur.append(text[i:j])
+            i = j
+            continue
+        if ch == "(":
+            p = _match_paren(text, i)
+            cur.append(text[i:p + 1])
+            i = p + 1
+            continue
+        if ch == "*":
+            parts.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _bare_col_refs(text: str) -> bool:
+    """True if the (already agg-resolved) text still references row
+    columns — identifiers that are neither calls, __e placeholders, nor
+    SQL keywords/literals."""
+    masked = _mask_strings(text)
+    kw = {"AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE", "END",
+          "NULL", "TRUE", "FALSE", "AS", "IS", "IN", "BETWEEN", "LIKE",
+          "DIV", "MOD", "XOR"}
+    for m in re.finditer(r"\b[A-Za-z_]\w*\b", masked):
+        if masked[m.end():].lstrip().startswith("("):
+            continue
+        name = m.group(0)
+        if re.fullmatch(r"__e\d+", name) or name.upper() in kw:
+            continue
+        return True
+    return False
+
+
+def _aux_ident(a: str, aux: dict) -> str:
+    a = _strip_t(a)
+    if re.fullmatch(r"\w+", a):
+        return a
+    expr = translate_expr(a)
+    if expr not in aux:
+        aux[expr] = f"__x{len(aux)}"
+    return aux[expr]
+
+
+def _resolve_nested_aggs(text: str, wname: str, alloc) -> str:
+    """Replace kernel-agg calls in `text` with __e placeholders bound to
+    window `wname`, recursively lowering nested sums."""
+    out, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = _skip_str(text, i)
+            out.append(text[i:j])
+            i = j
+            continue
+        m = re.match(r"[A-Za-z_]\w*", text[i:])
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        name = m.group(0)
+        j = i + len(name)
+        k = j
+        while k < n and text[k].isspace():
+            k += 1
+        if k >= n or text[k] != "(":
+            out.append(name)
+            i = j
+            continue
+        p = _match_paren(text, k)
+        lname = name.lower()
+        inner = text[k + 1:p]
+        if lname == "sum" and _has_nested_agg_call(inner):
+            out.append("(" + _lower_nested_sum(inner, wname, alloc) + ")")
+        elif lname in KERNEL_AGG_FUNCS or lname in _AGG_ALIASES:
+            out.append(alloc.get(
+                wname, _parse_agg_call(lname, inner, alloc.aux)))
+        else:
+            out.append(f"{name}({_resolve_nested_aggs(inner, wname, alloc)})")
+        i = p + 1
+    return "".join(out)
+
+
+def _lower_nested_sum(argtxt: str, wname: str, alloc) -> str:
+    """``sum(arg) OVER wname`` with aggregate calls nested in arg →
+    placeholder expression text (see block comment above). Supported
+    shapes — exactly what decomposes null-exactly: a single
+    row*const product term, or one pure-row term plus one pure-const
+    term; anything else is unsupported."""
+    terms = _split_addsub(argtxt)
+
+    def lower_term(sign, term):
+        factors = _split_mul(term)
+        rowf = [f for f in factors if not _has_nested_agg_call(f)]
+        constf = [f for f in factors if _has_nested_agg_call(f)]
+        if not rowf:
+            raise SqlUnsupported("sum over a frame-constant expression")
+        const_expr = " * ".join(
+            "(" + _resolve_nested_aggs(f, wname, alloc) + ")"
+            for f in constf)
+        if const_expr and _bare_col_refs(const_expr):
+            raise SqlUnsupported(
+                "nested aggregate mixed with row columns in one factor")
+        rtxt = " * ".join(rowf)
+        rcol = _aux_ident(rtxt, alloc.aux)
+        return sign, rcol, const_expr
+
+    if len(terms) == 1:
+        sign, rcol, const_expr = lower_term(*terms[0])
+        scol = alloc.get(wname, {"func": "sum", "col": rcol, "param": None,
+                                 "cond": None, "cate": None})
+        body = f"({scol} * {const_expr})" if const_expr else f"({scol})"
+        return f"(- {body})" if sign == "-" else body
+    if len(terms) == 2:
+        nested = [_has_nested_agg_call(t) for _, t in terms]
+        if nested.count(True) == 1:
+            (rs, rterm) = terms[0] if nested[1] else terms[1]
+            (cs, cterm) = terms[1] if nested[1] else terms[0]
+            cexpr = _resolve_nested_aggs(cterm, wname, alloc)
+            if _bare_col_refs(cexpr):
+                raise SqlUnsupported(
+                    "nested aggregate mixed with row columns")
+            rcol = _aux_ident(rterm, alloc.aux)
+            scol = alloc.get(wname, {"func": "sum", "col": rcol,
+                                     "param": None, "cond": None,
+                                     "cate": None})
+            ccol = alloc.get(wname, {"func": "count", "col": rcol,
+                                     "param": None, "cond": None,
+                                     "cate": None})
+            rpart = f"({scol})" if rs == "+" else f"(- {scol})"
+            kpart = f"({ccol} * ({cexpr}))"
+            return f"({rpart} {'+' if cs == '+' else '-'} {kpart})"
+    raise SqlUnsupported(f"nested aggregate shape sum({argtxt})")
 
 
 def _extract_window_aggs(item: str, alloc: _AggAlloc) -> str:
@@ -1321,6 +1809,12 @@ def _extract_window_aggs(item: str, alloc: _AggAlloc) -> str:
         wname = om.group(1)
         argtxt = item[k + 1:p]
         lname = name.lower()
+        if lname == "sum" and _has_nested_agg_call(argtxt):
+            # nested aggregate inside sum's argument: lower algebraically
+            # (the nested aggregate is an anchor-frame constant)
+            out.append("(" + _lower_nested_sum(argtxt, wname, alloc) + ")")
+            i = p + 1 + om.end()
+            continue
         if lname in KERNEL_AGG_FUNCS or lname in _AGG_ALIASES \
                 or lname == "fz_join":
             try:
@@ -1350,8 +1844,14 @@ def _bind_nested_aggs(text: str, wname: str, alloc: _AggAlloc) -> str:
             return alloc.get(
                 wname, _parse_agg_call(n, ", ".join(args), alloc.aux))
         if n in KERNEL_AGG_FUNCS or n in _AGG_ALIASES:
+            argtxt = ", ".join(args)
+            # rewrite_calls resolves inner-most calls first, so a nested
+            # aggregate has already become an __e placeholder by the time
+            # the enclosing sum is seen — lower it algebraically
+            if n == "sum" and _has_nested_agg_call(argtxt):
+                return "(" + _lower_nested_sum(argtxt, wname, alloc) + ")"
             return alloc.get(
-                wname, _parse_agg_call(n, ", ".join(args), alloc.aux))
+                wname, _parse_agg_call(n, argtxt, alloc.aux))
         return None
 
     return rewrite_calls(text, handler)
@@ -1840,6 +2340,11 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
                 attempts += [(bsql, tables), (bsql, _ms_tables(tables))]
             attempts.append((sql, _ms_tables(tables)))
             for asql, atables in attempts[:-1]:
+                # re-publish the type environment per attempt: _ms_tables
+                # swaps timestamp/bool columns for int views, and the
+                # string-comparison lowering must see the ACTUAL frame
+                # types, not the originals
+                tok = publish_expr_types(atables)
                 try:
                     return _dispatch_sql(spark, asql, atables)
                 except Exception:
@@ -1848,7 +2353,13 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
                     # through to the remaining attempts; the final one
                     # runs the ORIGINAL sql so real errors resurface
                     pass
-            return _dispatch_sql(spark, *attempts[-1])
+                finally:
+                    _EXPR_TYPES.reset(tok)
+            tok = publish_expr_types(attempts[-1][1])
+            try:
+                return _dispatch_sql(spark, *attempts[-1])
+            finally:
+                _EXPR_TYPES.reset(tok)
     finally:
         _EXPR_TYPES.reset(_types_token)
 

@@ -49,10 +49,6 @@ def _load(fname):
 
 
 # Documented semantic divergences pinned by specific corpus variants:
-# - predicate 3: timestamp/date <=> string comparisons parse the string
-#   side in the engine's local zone; ours is session-UTC based while the
-#   reference is fixed UTC+8 (comparison operands, unlike our translated
-#   function calls, are not visible to the text translator)
 # - type 1/3: the reference's CODEGEN cast string->bool accepts any
 #   value ('aa' -> true) while its own udf string_to_bool returns NULL;
 #   we follow the udf/NULL semantics. cast timestamp->smallint wraps in
@@ -60,12 +56,10 @@ def _load(fname):
 # - predicate 7: the corpus expectation contradicts IS NULL semantics —
 #   `where c1 is null` expects the row whose c1 is NOT null (and the
 #   `select *` expectation omits the ts1 input column)
-# - predicate 6: bool <=> string comparisons render the bool as
-#   "true"/"false" and compare lexically in the reference; our numeric
-#   coercion retry compares 0/1 numerically
+# (predicates 0/3/6 — string-mixed and bool-mixed comparisons — were
+# drained in round 4 by lower_string_cmp, which reproduces the
+# reference's cast-nonstring-to-string lexical comparison semantics)
 _KNOWN_DIVERGENCES = {
-    ("expression/test_predicate", "3@"),
-    ("expression/test_predicate", "6@"),
     ("expression/test_predicate", "7@"),
     ("expression/test_type", "1@"),
     ("expression/test_type", "3@"),
@@ -139,12 +133,13 @@ def test_minimum_function_corpus_coverage(spark):
                 skip += 1   # analysis/runtime rejection → divergence skip
         per_file[f] = f_ok
     assert not fails, fails[:10]
-    # last recorded run (round 4): 271 ok / 0 fail / 14 divergence
-    # skips. The round-3 ~60-skip bucket was drained: zero-divisor
-    # arithmetic (24 cases) now lowers to the reference's select-zero /
-    # IEEE semantics (lower_zero_div), VARCHAR casts and bool()/date
-    # numeric casts analyze, TODO-tagged cases are excluded like the
-    # reference harness does. Residual 14: string<=>timestamp
-    # comparison coercion (8, test_predicate id 0) and nested
-    # aggregate-in-window spellings (6, test_udaf_function).
-    assert ok >= 265, f"only {ok} function-corpus cases passed ({per_file})"
+    # last recorded run (round 4): 301 ok / 0 fail / 0 divergence skips
+    # — the bucket is fully drained. Round-3's ~60 skips fell to
+    # lower_zero_div (zero-divisor arithmetic, 24 cases) and cast
+    # lowerings; round 4 drained the rest: string/bool-mixed comparisons
+    # (lower_string_cmp — predicate ids 0/3/6, 24 cases), nested
+    # aggregates in sum (_lower_nested_sum — udaf 43/53), anchor-relative
+    # *_where conditions (cond_anchor — udaf 47-49), count_where(*, ...)
+    # (udaf 17). Every non-excluded case value-checks.
+    assert ok >= 295, f"only {ok} function-corpus cases passed ({per_file})"
+    assert skip <= 3, f"{skip} engine-divergence skips (expected 0)"

@@ -125,8 +125,9 @@ ACCEPTED_DIVERGENCES: dict[tuple, str] = {
     ("test_arithmetic.yaml", "bitwise_not_fail"): MS,
     ("test_predicate.yaml", "2"): MS,
     ("test_predicate.yaml", "4"): MS,
-    ("test_condition.yaml", "12"): POLY + " (ifnull coerces via Spark)",
-    ("test_condition.yaml", "13"): POLY + " (ifnull float widening)",
+    # test_condition 12/13 (ifnull over mixed types) were documented
+    # acceptances until round 4: _nvl_check now enforces the
+    # reference's exact-type-equality rule, so they reject natively
     ("test_type.yaml", "4"): POLY + " (cast->date returns NULL)",
     ("test_type.yaml", "5"): POLY + " (cast date->numeric)",
     ("test_type.yaml", "26"): POLY,
