@@ -1,0 +1,568 @@
+"""CREATE TABLE / CREATE INDEX / INSERT INTO — the statement-level DDL
+and DML surface of the offline job runner.
+
+Batch semantics: a CREATE TABLE registers an EMPTY DataFrame with the
+parsed schema; INSERT INTO appends literal rows; CREATE INDEX validates
+and records index metadata (indexes drive the ONLINE storage layout —
+the batch engine plans from the query's PARTITION BY/ORDER BY instead,
+so the index itself is a validated no-op here, exactly like
+LOAD DATA's soft-copy catalog entry).
+
+Validation reproduces the reference's analyzer/NS checks, pinned by the
+ddl/dml corpus:
+- identifier rules and reserved words
+  (cases/function/ddl/test_create.yaml ids 5-8, 22-23)
+- column types (id 10), index key col exists + non-float/double
+  (ids 11, 31-32), index ts col exists + timestamp/bigint (ids 12,
+  15-21)
+- ttl grammar per ttl_type: absolute = time literal, latest = plain
+  count, absandlat/absorlat = (time, count) tuple
+  (cases/function/ddl/test_ttl.yaml ids 3-5, 7, 9, 12, 14-19;
+  test_create_index.yaml ids 5, 10-11, 17-20)
+- options: partitionnum/replicanum positive ints; distribution entries
+  are (leader, [followers...]) tuples whose replica count must equal
+  replicanum, entry count must equal partitionnum, no duplicate
+  endpoints (cases/function/ddl/test_options.yaml ids 5-16, 20;
+  test_create.yaml ids 39-40)
+- INSERT: existing table/columns, per-row arity, literal-vs-column type
+  compatibility, NOT NULL columns required and non-null
+  (cases/function/dml/test_insert.yaml ids 4, 6-9;
+  multi_insert.yaml ids 7, 9-10)
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+import pyspark.sql.types as T
+
+__all__ = ["DdlError", "parse_create_table", "create_table",
+           "parse_insert", "insert_into", "validate_create_index"]
+
+
+class DdlError(ValueError):
+    """Statement rejected — mirrors the reference's analyzer error."""
+
+
+_TYPES = {
+    "bool": T.BooleanType(),
+    "int16": T.ShortType(), "smallint": T.ShortType(),
+    "int": T.IntegerType(), "int32": T.IntegerType(),
+    "int64": T.LongType(), "bigint": T.LongType(),
+    "float": T.FloatType(), "double": T.DoubleType(),
+    "string": T.StringType(), "varchar": T.StringType(),
+    "timestamp": T.TimestampType(), "date": T.DateType(),
+}
+
+# Reserved words that cannot name a table/column (the reference's
+# zetasql-based parser: `order` and `use` are rejected, `table` is a
+# non-reserved keyword and passes — test_create.yaml ids 6-1/6-2/8).
+_RESERVED = {
+    "all", "and", "any", "array", "as", "asc", "between", "by", "case",
+    "cast", "create", "cross", "current", "default", "define", "desc",
+    "distinct", "else", "end", "except", "exists", "false", "following",
+    "from", "full", "group", "having", "if", "in", "inner", "intersect",
+    "interval", "into", "is", "join", "lateral", "left", "like", "limit",
+    "merge", "natural", "new", "no", "not", "null", "nulls", "on", "or",
+    "order", "outer", "over", "partition", "preceding", "range",
+    "recursive", "respect", "right", "rollup", "rows", "select", "set",
+    "some", "struct", "then", "to", "true", "unbounded", "union",
+    "unnest", "use", "using", "when", "where", "window", "with",
+}
+
+_IDENT = r"[A-Za-z_]\w*"
+
+# index key columns: any non-float/non-double scalar
+_KEY_OK = ("string", "varchar", "smallint", "int16", "int", "int32",
+           "bigint", "int64", "date", "timestamp", "bool")
+# index ts columns: timestamp or int64 ms
+_TS_OK = ("timestamp", "bigint", "int64")
+
+_TIME_LIT = re.compile(r"^\d+\s*(?:[smhd]|ms|min)$", re.IGNORECASE)
+_COUNT_LIT = re.compile(r"^\d+$")
+
+
+def _check_ident(name: str, what: str) -> str:
+    if not re.fullmatch(_IDENT, name or ""):
+        raise DdlError(f"invalid {what} name {name!r}")
+    if name.lower() in _RESERVED:
+        raise DdlError(f"{what} name {name!r} is a reserved word")
+    return name
+
+
+def _check_ttl(ttl: str | None, ttl_type: str | None):
+    """ttl grammar per ttl_type (absolute is the default):
+    absolute → single TIME literal (unit required: ttl=3650 plain is
+    rejected, test_ttl.yaml ids 3-4); latest → single plain COUNT
+    (ids 5, 7, 17-18); absandlat/absorlat → (TIME, COUNT) tuple in that
+    order (ids 14, 16)."""
+    tt = (ttl_type or "absolute").lower()
+    if tt not in ("absolute", "latest", "absandlat", "absorlat"):
+        raise DdlError(f"unknown ttl_type {ttl_type!r}")
+    if ttl is None:
+        return
+    ttl = ttl.strip()
+    tm = re.fullmatch(r"\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)", ttl)
+    if tt in ("absandlat", "absorlat"):
+        if not tm or not _TIME_LIT.match(tm.group(1)) \
+                or not _COUNT_LIT.match(tm.group(2)):
+            raise DdlError(
+                f"ttl {ttl!r} with ttl_type {tt}: needs (time, count)")
+        return
+    if tm:
+        raise DdlError(f"ttl tuple {ttl!r} needs absandlat/absorlat")
+    # a single-value tuple is tolerated: ttl=(3650m) absolute and
+    # ttl=(10) latest both pass (test_ttl.yaml ids 6, 29)
+    sm = re.fullmatch(r"\(\s*([^,()]+?)\s*\)", ttl)
+    if sm:
+        ttl = sm.group(1)
+    if tt == "absolute":
+        if not _TIME_LIT.match(ttl):
+            raise DdlError(
+                f"absolute ttl {ttl!r} needs a time literal (e.g. 10m)")
+    else:   # latest
+        if not _COUNT_LIT.match(ttl):
+            raise DdlError(f"latest ttl {ttl!r} needs a plain count")
+        if int(ttl) > 1000:
+            # the reference bounds latest ttl at FLAGS_latest_ttl_max
+            # (default 1000): ttl=(3650) latest is rejected while
+            # ttl=(10) passes (test_ttl.yaml ids 7 vs 29)
+            raise DdlError(f"latest ttl {ttl} exceeds the max (1000)")
+
+
+_UNIT_MS = {"ms": 1, "s": 1000, "m": 60000, "min": 60000,
+            "h": 3600000, "d": 86400000}
+
+_TTL_TYPE_NAME = {"absolute": "kAbsoluteTime", "latest": "kLatestTime",
+                  "absandlat": "kAbsAndLat", "absorlat": "kAbsOrLat"}
+
+
+def _ttl_minutes(lit: str) -> int:
+    """Time literal → minutes, rounded UP (the reference's desc shows
+    ttl=1s as 1min — test_create_index.yaml id 9)."""
+    m = re.fullmatch(r"(\d+)\s*([a-z]+)", lit.strip().lower())
+    ms = int(m.group(1)) * _UNIT_MS[m.group(2)]
+    return -(-ms // 60000)
+
+
+def _norm_index(opts: dict) -> dict:
+    """Validated index options → the reference's desc rendering:
+    {"keys": [...], "ts": col|"-", "ttl": "Nmin"|count|"Nmin&&c"|"Nmin||c",
+    "ttlType": kAbsoluteTime|kLatestTime|kAbsAndLat|kAbsOrLat}."""
+    tt = (opts.get("ttl_type") or "absolute").lower()
+    ttl = (opts.get("ttl") or "").strip()
+    sm = re.fullmatch(r"\(\s*([^,()]+?)\s*\)", ttl)
+    if sm and tt in ("absolute", "latest"):
+        ttl = sm.group(1)
+    if tt == "latest":
+        norm_ttl: object = int(ttl or 0)
+    elif tt in ("absandlat", "absorlat"):
+        tm = re.fullmatch(r"\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)", ttl)
+        sep = "&&" if tt == "absandlat" else "||"
+        norm_ttl = f"{_ttl_minutes(tm.group(1))}min{sep}{int(tm.group(2))}"
+    else:
+        norm_ttl = f"{_ttl_minutes(ttl) if ttl else 0}min"
+    keys = opts.get("key") or ""
+    keys = keys.strip()
+    if keys.startswith("(") and keys.endswith(")"):
+        keys = keys[1:-1]
+    return {"keys": [k.strip() for k in keys.split(",") if k.strip()],
+            "ts": opts.get("ts") or "-",
+            "ttl": norm_ttl, "ttlType": _TTL_TYPE_NAME[tt]}
+
+
+def auto_index(schema: T.StructType) -> dict:
+    """The index the reference auto-creates for a CREATE TABLE without
+    one: key = FIRST column of an index-eligible type (float/double
+    skipped — test_create_no_index.yaml ids 0-10), no ts, ttl 0min."""
+    for f in schema.fields:
+        if f.dataType.simpleString() not in ("float", "double"):
+            return {"keys": [f.name], "ts": "-", "ttl": "0min",
+                    "ttlType": "kAbsoluteTime"}
+    raise DdlError("no index-eligible column")
+
+
+def _check_index(body: str, col_types: dict):
+    """One `index(...)` body of a CREATE TABLE: key/ts/ttl/ttl_type."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    opts: dict = {}
+    for p in parts:
+        p = p.strip()
+        if not p:
+            continue
+        m = re.match(r"(?is)^(\w+)\s*=\s*(.+)$", p)
+        if not m:
+            raise DdlError(f"index option {p!r}")
+        opts[m.group(1).lower()] = m.group(2).strip()
+    keys = opts.get("key")
+    if keys is not None:
+        keys = keys.strip()
+        if keys.startswith("("):
+            if not keys.endswith(")"):
+                raise DdlError(f"index key {keys!r}")
+            keys = keys[1:-1]
+        for k in [x.strip() for x in keys.split(",") if x.strip()]:
+            if k not in col_types:
+                raise DdlError(f"index key column {k!r} does not exist")
+            if col_types[k] not in _KEY_OK:
+                raise DdlError(
+                    f"index key column {k!r} has type {col_types[k]} "
+                    f"(float/double keys rejected)")
+    ts = opts.get("ts")
+    if ts is not None:
+        if ts not in col_types:
+            raise DdlError(f"index ts column {ts!r} does not exist")
+        if col_types[ts] not in _TS_OK:
+            raise DdlError(
+                f"index ts column {ts!r} has type {col_types[ts]} "
+                f"(needs timestamp or bigint)")
+    _check_ttl(opts.get("ttl"), opts.get("ttl_type"))
+    return opts
+
+
+# Endpoints in a `distribution` option: the batch engine has no live
+# cluster registry to resolve real host:port endpoints against, so the
+# corpus's own placeholder notation IS the known-endpoint set — any
+# other spelling is an unknown endpoint (test_options.yaml id 20
+# appends a stray character to a known endpoint and expects rejection).
+_ENDPOINT = re.compile(r"^\{tb_endpoint_\d+\}$|^[\w.\-]+:\d+$")
+
+
+def _check_options(body: str):
+    opts = {}
+    i, n = 0, len(body)
+    while i < n:
+        m = re.match(r"\s*,?\s*(\w+)\s*=\s*", body[i:])
+        if not m:
+            break
+        key = m.group(1).lower()
+        i += m.end()
+        if i < n and body[i] == "[":
+            # bracket-matched list value (distribution nests [..] lists)
+            depth, j = 0, i
+            while j < n:
+                if body[j] == "[":
+                    depth += 1
+                elif body[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            opts[key] = body[i:j + 1]
+            i = j + 1
+        else:
+            j = body.find(",", i)
+            if j < 0:
+                j = n
+            opts[key] = body[i:j].strip()
+            i = j
+    pn = opts.get("partitionnum")
+    rn = opts.get("replicanum")
+    if pn is not None and not (pn.isdigit() and int(pn) >= 1):
+        raise DdlError(f"partitionnum {pn!r} must be a positive int")
+    if rn is not None and not (rn.isdigit() and int(rn) >= 1):
+        raise DdlError(f"replicanum {rn!r} must be a positive int")
+    dist = opts.get("distribution")
+    if dist is not None:
+        body = dist.strip()
+        if not (body.startswith("[") and body.endswith("]")):
+            raise DdlError(f"distribution {dist!r}")
+        entries = []
+        for em in re.finditer(r"\(([^()]*(?:\[[^\]]*\])?[^()]*)\)",
+                              body[1:-1]):
+            entry = em.group(1)
+            lm = re.match(r"^\s*'([^']*)'\s*,\s*\[([^\]]*)\]\s*$", entry)
+            if not lm:
+                # each entry must be a (leader, [followers...]) tuple
+                # (test_options.yaml id 11: a bare ('endpoint') fails)
+                raise DdlError(f"distribution entry ({entry}) needs "
+                               f"(leader, [followers])")
+            leader = lm.group(1)
+            followers = re.findall(r"'([^']*)'", lm.group(2))
+            eps = [leader, *followers]
+            for e in eps:
+                if not _ENDPOINT.match(e):
+                    raise DdlError(f"unknown endpoint {e!r}")
+            if len(set(eps)) != len(eps):
+                raise DdlError(
+                    f"duplicate endpoint in distribution entry ({entry})")
+            entries.append(eps)
+        if len(entries) != 1:
+            # the reference accepts exactly ONE distribution entry —
+            # partitionnum=4 with one entry passes (test_options.yaml
+            # id 21) while two entries fail regardless of partitionnum
+            # (ids 5, 13)
+            raise DdlError(
+                f"distribution takes exactly one entry, got "
+                f"{len(entries)}")
+        if rn is not None and any(len(e) != int(rn) for e in entries):
+            raise DdlError(
+                "distribution replica count does not match replicanum")
+    return opts
+
+
+def parse_create_table(stmt: str) -> dict:
+    """CREATE TABLE name (col type [NOT NULL], ..., index(...)...)
+    [OPTIONS (...)] → {"name", "schema": StructType, "indexes",
+    "options"}. Raises DdlError on every reference-rejected shape."""
+    m = re.match(r"(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?"
+                 r"(?P<name>\S+?)\s*\(", stmt.strip())
+    if not m:
+        raise DdlError("not a CREATE TABLE statement")
+    name = m.group("name")
+    _check_ident(name, "table")
+    start = stmt.index("(", m.end() - 1)
+    depth, j = 0, start
+    while j < len(stmt):
+        if stmt[j] == "(":
+            depth += 1
+        elif stmt[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if depth != 0:
+        raise DdlError("unbalanced parens in CREATE TABLE")
+    body = stmt[start + 1:j]
+    tail = stmt[j + 1:].strip().rstrip(";").strip()
+    options = {}
+    if tail:
+        om = re.match(r"(?is)^options\s*\((.*)\)\s*$", tail)
+        if not om:
+            raise DdlError(f"trailing clause {tail!r}")
+        options = _check_options(om.group(1))
+
+    # split body at depth-0 commas
+    items, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur))
+
+    fields, col_types, index_bodies = [], {}, []
+    for it in items:
+        it = it.strip()
+        if not it:
+            continue
+        im = re.match(r"(?is)^index\s*\((.*)\)$", it)
+        if im:
+            index_bodies.append(im.group(1))
+            continue
+        cm = re.match(
+            r"(?is)^(?P<col>\S+)\s+(?P<typ>\w+)"
+            r"(?P<nn>\s+not\s+null)?\s*$", it)
+        if not cm:
+            raise DdlError(f"column definition {it!r}")
+        col = cm.group("col")
+        _check_ident(col, "column")
+        typ = cm.group("typ").lower()
+        if typ not in _TYPES:
+            raise DdlError(f"unknown column type {typ!r}")
+        if col in col_types:
+            raise DdlError(f"duplicate column {col!r}")
+        col_types[col] = typ
+        fields.append(T.StructField(col, _TYPES[typ],
+                                    nullable=not cm.group("nn")))
+    if not fields:
+        raise DdlError("CREATE TABLE without columns")
+    schema = T.StructType(fields)
+    indexes = [_norm_index(_check_index(b, col_types))
+               for b in index_bodies]
+    if not indexes:
+        indexes = [auto_index(schema)]
+    return {"name": name, "schema": schema,
+            "indexes": indexes, "options": options}
+
+
+def create_table(spark, stmt: str, tables: dict | None = None):
+    """Parse + register: returns (name, empty DataFrame). Rejects a name
+    already bound in `tables` (test_create.yaml id 26)."""
+    spec = parse_create_table(stmt)
+    if tables is not None and spec["name"] in tables:
+        raise DdlError(f"table {spec['name']!r} already exists")
+    return spec["name"], spark.createDataFrame([], spec["schema"])
+
+
+def validate_create_index(stmt: str, tables: dict,
+                          existing: list | None = None) -> tuple:
+    """CREATE INDEX name ON table (cols) [OPTIONS (...)] — validate
+    against the live table schema; data-wise a batch no-op (indexes are
+    online storage-layout hints). `existing` = the table's current
+    normalized index entries: a new index duplicating an existing
+    (keys, ts) pair is rejected (test_create_index.yaml id 33) while a
+    reused index NAME is fine (ids 0/34 recreate `index1`). Returns
+    (table, index_name, normalized index entry)."""
+    m = re.match(
+        r"(?is)^\s*create\s+index\s+(?P<iname>\S+)\s+on\s+(?P<t>\S+)\s*"
+        r"\((?P<cols>[^)]*)\)\s*(?:options\s*\((?P<opts>.*)\)\s*)?;?\s*$",
+        stmt.strip())
+    if not m:
+        raise DdlError("not a CREATE INDEX statement")
+    _check_ident(m.group("iname"), "index")
+    tname = m.group("t")
+    if tname not in tables:
+        raise DdlError(f"table {tname!r} does not exist")
+    col_types = {f.name: f.dataType.simpleString()
+                 for f in tables[tname].schema.fields}
+    body = "key=(" + m.group("cols") + ")"
+    if m.group("opts"):
+        body += "," + m.group("opts")
+    entry = _norm_index(_check_index(body, col_types))
+    for e in existing or []:
+        if e.get("keys") == entry["keys"] and e.get("ts") == entry["ts"]:
+            raise DdlError(
+                f"an index on {entry['keys']} ordered by {entry['ts']} "
+                f"already exists")
+    return tname, m.group("iname"), entry
+
+
+_INSERT_RE = re.compile(
+    r"(?is)^\s*insert\s+into\s+(?P<t>\S+?)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?values\s*(?P<vals>\(.*\))\s*;?\s*$")
+
+
+def _parse_literal(tok: str):
+    """One INSERT literal → (python value, kind). kind ∈ {'null',
+    'string', 'int', 'float', 'bool', 'param'}."""
+    t = tok.strip()
+    if t == "?":
+        return None, "param"
+    if t.upper() == "NULL":
+        return None, "null"
+    if re.fullmatch(r"'[^']*'", t) or re.fullmatch(r'"[^"]*"', t):
+        return t[1:-1], "string"
+    if re.fullmatch(r"[-+]?\d+[lL]?", t):
+        return int(t.rstrip("lL")), "int"
+    if re.fullmatch(r"[-+]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?[fF]?",
+                    t):
+        return float(t.rstrip("fF")), "float"
+    if t.lower() in ("true", "false"):
+        return t.lower() == "true", "bool"
+    # a bare identifier is NOT a string literal (test_insert.yaml id 9)
+    raise DdlError(f"invalid INSERT literal {t!r}")
+
+
+# literal kind → column types it may populate
+_COMPAT = {
+    "string": ("string", "date", "timestamp"),
+    "int": ("smallint", "int", "bigint", "float", "double", "timestamp"),
+    "float": ("float", "double"),
+    "bool": ("boolean",),
+}
+
+
+def _coerce(value, kind, field: T.StructField):
+    typ = field.dataType.simpleString()
+    if kind in ("null", "param") and value is None:
+        if not field.nullable:
+            raise DdlError(f"NULL into NOT NULL column {field.name!r}")
+        return None
+    if kind == "param":
+        # prepared parameters arrive pre-typed by the caller; route
+        # through the literal kinds for the same checks
+        if isinstance(value, bool):
+            kind = "bool"
+        elif isinstance(value, int):
+            kind = "int"
+        elif isinstance(value, float):
+            kind = "float"
+        else:
+            kind = "string"
+    if typ not in _COMPAT.get(kind, ()):
+        raise DdlError(
+            f"literal kind {kind} into {typ} column {field.name!r}")
+    if typ == "timestamp":
+        if kind == "string":
+            return datetime.datetime.fromisoformat(str(value))
+        ms = int(value)
+        return datetime.datetime.utcfromtimestamp(ms // 1000).replace(
+            microsecond=(ms % 1000) * 1000)
+    if typ == "date":
+        y, mo, d = (int(p) for p in str(value).strip().split("-"))
+        return datetime.date(y, mo, d)
+    if typ in ("smallint", "int", "bigint"):
+        return int(value)
+    if typ in ("float", "double"):
+        return float(value)
+    return value
+
+
+def parse_insert(stmt: str):
+    """INSERT INTO t [(cols)] VALUES (..), (..) →
+    (table, cols|None, [[(value, kind), ...], ...])."""
+    m = _INSERT_RE.match(stmt)
+    if not m:
+        raise DdlError("not an INSERT statement")
+    cols = None
+    if m.group("cols") is not None:
+        cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+    rows = []
+    vals = m.group("vals")
+    for rm in re.finditer(r"\(([^()]*)\)", vals):
+        toks, depth, cur = [], 0, []
+        for ch in rm.group(1):
+            if ch == "," and depth == 0:
+                toks.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        toks.append("".join(cur))
+        rows.append([_parse_literal(t) for t in toks])
+    if not rows:
+        raise DdlError("INSERT without VALUES rows")
+    return m.group("t"), cols, rows
+
+
+def insert_into(spark, stmt: str, tables: dict, params=None):
+    """Execute INSERT INTO against `tables`, returning the appended
+    DataFrame to rebind. `params` binds ? placeholders (prepared insert,
+    one row per VALUES tuple × params row)."""
+    tname, cols, rows = parse_insert(stmt)
+    if tname not in tables:
+        raise DdlError(f"table {tname!r} does not exist")
+    prior = tables[tname]
+    fields = {f.name: f for f in prior.schema.fields}
+    if cols is None:
+        cols = [f.name for f in prior.schema.fields]
+    for c in cols:
+        if c not in fields:
+            raise DdlError(f"column {c!r} does not exist in {tname!r}")
+    # NOT NULL columns must be present in the column list
+    # (test_insert.yaml id 8)
+    missing_nn = [f.name for f in prior.schema.fields
+                  if not f.nullable and f.name not in cols]
+    if missing_nn:
+        raise DdlError(f"NOT NULL column(s) {missing_nn} not inserted")
+    out_rows = []
+    for r in rows:
+        if len(r) != len(cols):
+            raise DdlError(
+                f"INSERT row has {len(r)} values for {len(cols)} columns")
+        if params is not None and any(k == "param" for _, k in r):
+            pi = iter(params)
+            r = [((next(pi), "param") if k == "param" else (v, k))
+                 for v, k in r]
+        vals = {c: _coerce(v, k, fields[c])
+                for c, (v, k) in zip(cols, r)}
+        out_rows.append([vals.get(f.name) for f in prior.schema.fields])
+    appended = spark.createDataFrame(out_rows, prior.schema)
+    return prior.unionByName(appended)

@@ -341,13 +341,30 @@ def _read_with_schema(spark, path, fmt, opts, schema: T.StructType):
 
 
 def run_statement(spark, stmt: str, tables: dict,
-                  path_resolver=None) -> DataFrame | None:
+                  path_resolver=None, params=None) -> DataFrame | None:
     """Execute one statement of the offline job surface: SELECT INTO
     OUTFILE writes, LOAD DATA INFILE (re)binds a table in ``tables``,
-    anything else runs through run_sql and returns its DataFrame."""
+    CREATE TABLE registers an empty table, INSERT INTO appends rows,
+    CREATE INDEX validates (batch no-op — indexes are online
+    storage-layout hints); anything else runs through run_sql and
+    returns its DataFrame."""
     from openmldb_spark.sqlfe import run_sql
+    from openmldb_spark.sources import ddl as _ddl
 
     resolve = path_resolver or (lambda p: p)
+    head = stmt.lstrip()[:32].lower()
+    if head.startswith("create table"):
+        name, df = _ddl.create_table(spark, stmt, tables)
+        tables[name] = df
+        return None
+    if head.startswith("create index"):
+        _ddl.validate_create_index(stmt, tables)
+        return None
+    if head.startswith("insert "):
+        tname, _, _ = _ddl.parse_insert(stmt)
+        tables[tname] = _ddl.insert_into(spark, stmt, tables,
+                                         params=params)
+        return None
     m = _OUTFILE_RE.match(stmt)
     if m:
         fmt, opts, mode, _ = _map_rw_options(
@@ -378,4 +395,4 @@ def run_statement(spark, stmt: str, tables: dict,
         # 'overwrite' replaces it
         tables[name] = df if mode == "overwrite" else prior.unionByName(df)
         return None
-    return run_sql(spark, stmt, tables)
+    return run_sql(spark, stmt, tables, params=params)
