@@ -123,11 +123,18 @@ def asof_join_kernel(
     right_cols: list[str] | None = None,
     allow_exact_matches: bool = True,
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Point-in-time as-of join: newest right row with ts <= left ts per key.
 
     Implemented as a cogrouped sort-merge pass (applyInPandas over cogroup),
     equivalent to LAST JOIN with condition ``r.ts <= l.ts ORDER BY r.ts``.
+
+    ``pre_partitioned=True``: both sides are already hash-clustered on
+    ``on`` with the SAME bucket count (bucketed tables from
+    sources/layout.py) — skip the explicit repartitions so the cogroup
+    merge runs shuffle-free; Catalyst still inserts exchanges itself if
+    the assertion does not hold.
     """
     import pandas as pd
     import pyspark.sql.types as T
@@ -172,10 +179,14 @@ def asof_join_kernel(
 
     # explicit partition count: AQE size-based coalescing would serialize
     # the per-group Python merge (see window.py kernel note)
-    if num_partitions is None:
-        num_partitions = left.sparkSession.sparkContext.defaultParallelism
-    lg = left.repartition(num_partitions, *on)
-    rg = right.repartition(num_partitions, *on)
+    if pre_partitioned:
+        lg, rg = left, right
+    else:
+        if num_partitions is None:
+            num_partitions = \
+                left.sparkSession.sparkContext.defaultParallelism
+        lg = left.repartition(num_partitions, *on)
+        rg = right.repartition(num_partitions, *on)
     return lg.groupBy(*on).cogroup(rg.groupBy(*on)).applyInPandas(
         merge, schema=out_schema
     )

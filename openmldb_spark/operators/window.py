@@ -225,8 +225,13 @@ def window_agg(
     bucket_ms: int | None = None,
     salt_quantiles: int | None = None,
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
-    """SELECT keep_cols, agg... OVER (spec) FROM df [WINDOW UNION union]."""
+    """SELECT keep_cols, agg... OVER (spec) FROM df [WINDOW UNION union].
+
+    ``pre_partitioned=True``: the input is already hash-clustered on the
+    partition keys (bucketed table) — skip the explicit repartition so
+    the kernel runs shuffle-free (see sources/layout.py)."""
     keys = list(spec.partition_by)
     keep_cols = list(keep_cols or df.columns)
 
@@ -418,9 +423,21 @@ def window_agg(
     # kernel whose cost is per-GROUP, not per-byte (measured 12.4s -> 1.8s
     # on 3.4k groups). repartition(n, keys) satisfies the groupBy's
     # distribution, so no second exchange is added.
-    if num_partitions is None:
-        num_partitions = work.sparkSession.sparkContext.defaultParallelism
-    grouped = work.repartition(num_partitions, *group_keys)
+    if pre_partitioned:
+        # caller asserts the input is already hash-clustered on the
+        # partition keys (a bucketed+sorted table from sources/layout.py
+        # — the batch analog of the reference's index(key, ts) layout):
+        # the scan's HashPartitioning satisfies the groupBy's
+        # ClusteredDistribution, so the explicit repartition — the ONLY
+        # shuffle in this plan — is dropped. Safe even when the
+        # assertion is wrong or a skew strategy added salt/bucket keys:
+        # Catalyst's EnsureRequirements inserts the exchange itself.
+        grouped = work
+    else:
+        if num_partitions is None:
+            num_partitions = \
+                work.sparkSession.sparkContext.defaultParallelism
+        grouped = work.repartition(num_partitions, *group_keys)
     return grouped.groupBy(*group_keys).applyInPandas(kernel, schema=out_schema).select(*keep_cols, *[a.alias for a in aggs])
 
 
