@@ -594,25 +594,29 @@ def group_window_features(
             # anchor-relative equality condition: count frame rows whose
             # `cond` value equals the ANCHOR row's `cond_anchor` value
             # (count_where(id, c1 = lag(c1, 0)) —
-            # test_udaf_function.yaml ids 47-49). Per-anchor slice scan:
-            # same asymptotics as the reference's per-frame UDAF loop.
+            # test_udaf_function.yaml ids 47-49). Vectorized: composite
+            # (code, position) keys sorted once, then two searchsorted
+            # sweeps per anchor batch — O(n log n) total instead of the
+            # reference's O(anchors × frame) per-frame rescan, which
+            # matters for deep frames at scale.
             cc = pd.factorize(pd.concat(
                 [pdf[agg.cond], pdf[agg.cond_anchor]],
                 ignore_index=True))[0]
             rc, ac = cc[:n], cc[n:]
             valid = pdf[col].notna().to_numpy(bool)
             rc_e, ve = rc[idx_e], valid[idx_e]
-            res = np.zeros(len(E), dtype=np.float64)
-            for k in range(len(E)):
-                a = ac[E[k]]
-                if a < 0:   # anchor-side NULL: condition never true
-                    continue
-                sl = slice(lo[k], hi[k])
-                cnt = int(np.count_nonzero((rc_e[sl] == a) & ve[sl]))
-                if anchored[k] and rc[E[k]] == a and valid[E[k]]:
-                    cnt += 1
-                res[k] = cnt
-            out[alias] = res
+            mask = ve & (rc_e >= 0)
+            pos = np.flatnonzero(mask)
+            B = np.int64(len(rc_e) + 1)
+            keys = rc_e[pos].astype(np.int64) * B + pos
+            keys.sort()
+            a = ac[E].astype(np.int64)
+            ok = a >= 0          # anchor-side NULL: condition never true
+            qa = np.where(ok, a, 0) * B
+            cnt = (np.searchsorted(keys, qa + hi)
+                   - np.searchsorted(keys, qa + lo)).astype(np.float64)
+            self_ok = anchored & ok & (rc[E] == ac[E]) & valid[E]
+            out[alias] = np.where(ok, cnt + self_ok, 0.0)
             continue
         if f in ("sum", "avg", "count", "sum_where", "avg_where", "count_where"):
             cond = agg.cond if f.endswith("_where") else None
