@@ -341,25 +341,53 @@ def _read_with_schema(spark, path, fmt, opts, schema: T.StructType):
 
 
 def run_statement(spark, stmt: str, tables: dict,
-                  path_resolver=None, params=None) -> DataFrame | None:
+                  path_resolver=None, params=None,
+                  catalog: dict | None = None) -> DataFrame | None:
     """Execute one statement of the offline job surface: SELECT INTO
     OUTFILE writes, LOAD DATA INFILE (re)binds a table in ``tables``,
     CREATE TABLE registers an empty table, INSERT INTO appends rows,
     CREATE INDEX validates (batch no-op — indexes are online
-    storage-layout hints); anything else runs through run_sql and
-    returns its DataFrame."""
+    storage-layout hints), DESC returns the schema; anything else runs
+    through run_sql and returns its DataFrame.
+
+    ``catalog`` (optional dict, caller-owned): table name → list of
+    normalized index entries. CREATE TABLE/INDEX record into it (the
+    reference's desc index section; sources/layout.py can materialize
+    the physical layout from the same entries), and CREATE INDEX
+    rejects an index duplicating an existing (keys, ts) pair."""
     from openmldb_spark.sqlfe import run_sql
     from openmldb_spark.sources import ddl as _ddl
 
     resolve = path_resolver or (lambda p: p)
     head = stmt.lstrip()[:32].lower()
     if head.startswith("create table"):
-        name, df = _ddl.create_table(spark, stmt, tables)
-        tables[name] = df
+        spec = _ddl.parse_create_table(stmt)
+        if spec["name"] in tables:
+            raise _ddl.DdlError(f"table {spec['name']!r} already exists")
+        tables[spec["name"]] = spark.createDataFrame([], spec["schema"])
+        if catalog is not None:
+            catalog[spec["name"]] = list(spec["indexes"])
         return None
     if head.startswith("create index"):
-        _ddl.validate_create_index(stmt, tables)
+        existing = []
+        if catalog is not None:
+            tm = _re.search(r"(?i)\bon\s+(\S+)", stmt)
+            if tm:
+                existing = catalog.get(tm.group(1).rstrip(";"), [])
+        t, _, entry = _ddl.validate_create_index(stmt, tables,
+                                                 existing=existing)
+        if catalog is not None:
+            catalog.setdefault(t, []).append(entry)
         return None
+    if head.startswith("desc"):
+        m = _re.match(r"(?is)^\s*desc(?:ribe)?\s+(\S+?)\s*;?\s*$", stmt)
+        if not m or m.group(1) not in tables:
+            raise _ddl.DdlError(f"desc: unknown table in {stmt!r}")
+        rows = [(f.name, f.dataType.simpleString(),
+                 "YES" if f.nullable else "NO")
+                for f in tables[m.group(1)].schema.fields]
+        return spark.createDataFrame(
+            rows, "name string, type string, nullable string")
     if head.startswith("insert "):
         tname, _, _ = _ddl.parse_insert(stmt)
         tables[tname] = _ddl.insert_into(spark, stmt, tables,

@@ -18,7 +18,7 @@ import pandas as pd
 import pytest
 import yaml
 
-from openmldb_spark.sources.ddl import (DdlError, parse_create_table)
+from openmldb_spark.sources.ddl import DdlError
 from openmldb_spark.sources.io import run_statement
 from openmldb_spark.sqlfe import SqlUnsupported, run_sql
 
@@ -98,8 +98,7 @@ def _run_case(spark, case, seq):
                              for s in inp.get("indexs") or []]
         elif "create" in inp:
             cstmt = _sub_tables(inp["create"], names, auto)
-            run_statement(spark, cstmt, tables)
-            catalog[name] = parse_create_table(cstmt)["indexes"]
+            run_statement(spark, cstmt, tables, catalog=catalog)
             if inp.get("insert"):
                 istmt = _sub_tables(str(inp["insert"]), names, auto)
                 prows = inp.get("rows")
@@ -119,23 +118,9 @@ def _run_case(spark, case, seq):
         for stmt in stmts:
             stmt = _sub_tables(str(stmt), names, auto).strip()
             if stmt.lower().startswith("desc"):
-                continue        # checked from the catalog below
-            head = stmt.lower()
-            if head.startswith("create table"):
-                run_statement(spark, stmt, tables)
-                catalog[parse_create_table(stmt)["name"]] = \
-                    parse_create_table(stmt)["indexes"]
-            elif head.startswith("create index"):
-                from openmldb_spark.sources.ddl import \
-                    validate_create_index
-                tm = re.search(r"(?i)\bon\s+(\S+)", stmt)
-                t, _, entry = validate_create_index(
-                    stmt, tables,
-                    existing=catalog.get(tm.group(1) if tm else "", []))
-                run_statement(spark, stmt, tables)
-                catalog.setdefault(t, []).append(entry)
-            else:
-                last_df = run_statement(spark, stmt, tables)
+                run_statement(spark, stmt, tables, catalog=catalog)
+                continue        # idxs checked from the catalog below
+            last_df = run_statement(spark, stmt, tables, catalog=catalog)
     except (DdlError, SqlUnsupported, ValueError) as e:
         if negative:
             return
