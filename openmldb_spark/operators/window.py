@@ -83,11 +83,18 @@ def _agg_field(agg: Agg, in_field: T.StructField | None) -> T.StructField:
         assert in_field is not None
         return T.StructField(agg.alias, in_field.dataType)
     assert in_field is not None
-    # min/max preserve non-numeric types (strings/dates order lexically)
-    if f in ("min", "max", "min_where", "max_where") and not isinstance(
-            in_field.dataType, (*_INT_TYPES, T.FloatType, T.DoubleType)):
+    # min/max preserve the input type for EVERY domain (MinUdafDef /
+    # MaxUdafDef are T→T and cannot overflow; strings/dates order
+    # lexically)
+    if f in ("min", "max", "min_where", "max_where"):
         return T.StructField(agg.alias, in_field.dataType)
-    # sum/min/max (+_where): integer inputs widen to long, else double
+    # sum (+_where): SumUdafDef is T→T. float stays float (deploy corpus
+    # test_create_deploy id 5 pins sum(float)=kFloat); integer inputs
+    # deliberately widen to long — the reference accumulates in the
+    # input's C type and WRAPS on overflow, which we do not reproduce
+    # (documented divergence, yaml_harness int-overflow classifier)
+    if isinstance(in_field.dataType, T.FloatType):
+        return T.StructField(agg.alias, T.FloatType())
     if isinstance(in_field.dataType, _INT_TYPES):
         return T.StructField(agg.alias, T.LongType())
     return T.StructField(agg.alias, T.DoubleType())

@@ -342,7 +342,9 @@ def _read_with_schema(spark, path, fmt, opts, schema: T.StructType):
 
 def run_statement(spark, stmt: str, tables: dict,
                   path_resolver=None, params=None,
-                  catalog: dict | None = None) -> DataFrame | None:
+                  catalog: dict | None = None,
+                  deployments: dict | None = None,
+                  db: str | None = None) -> DataFrame | None:
     """Execute one statement of the offline job surface: SELECT INTO
     OUTFILE writes, LOAD DATA INFILE (re)binds a table in ``tables``,
     CREATE TABLE registers an empty table, INSERT INTO appends rows,
@@ -360,6 +362,26 @@ def run_statement(spark, stmt: str, tables: dict,
 
     resolve = path_resolver or (lambda p: p)
     head = stmt.lstrip()[:32].lower()
+    if head.startswith(("deploy ", "show deployment", "drop deployment")):
+        from openmldb_spark.sources import deploy as _dep
+        if deployments is None:
+            deployments = {}
+        if head.startswith("deploy "):
+            _dep.create_deployment(spark, stmt, tables, deployments, db=db)
+            return None
+        if head.startswith("show deployments"):
+            rows = [(d["name"], d["dbName"], d["sql"])
+                    for d in _dep.show_deployments(stmt, deployments)]
+            return spark.createDataFrame(
+                rows, "name string, db string, sql string") if rows else \
+                spark.createDataFrame([], "name string, db string, sql string")
+        if head.startswith("show deployment"):
+            d = _dep.show_deployment(stmt, deployments, db=db)
+            return spark.createDataFrame(
+                [(d["name"], d["dbName"], d["sql"])],
+                "name string, db string, sql string")
+        _dep.drop_deployment(stmt, deployments)
+        return None
     if head.startswith("create table"):
         spec = _ddl.parse_create_table(stmt)
         if spec["name"] in tables:

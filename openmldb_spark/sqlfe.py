@@ -2286,6 +2286,14 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
         sql = bind_params(sql, list(params))
     sql = strip_comments(sql)
     sql = _strip_backticks(sql)
+    # `from(select ...)` / `join(select ...)` with no space — the
+    # reference's tokenizer accepts it (deploy corpus test_create_deploy
+    # id 5); normalize so the {N}-placeholder regexes see a boundary
+    sql = _sub_outside_strings(r"(?i)\b(from|join)\(", r"\1 (", sql)
+    # stacked statement terminators (`;\n;` — benchmark corpus
+    # request_benchmark.yaml id 3) collapse to one: a stray second `;`
+    # would otherwise ride along inside the last ON/WHERE clause text
+    sql = re.sub(r"(?:\s*;)+\s*$", ";", sql)
     cm = re.search(r"(?i)\bCONFIG\s*\(", sql)
     if cm and not any(a < cm.start() < b for a, b in _string_spans(sql)):
         # trailing CONFIG (k=v, ...) clause: hybridse parses and attaches

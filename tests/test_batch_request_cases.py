@@ -1,13 +1,21 @@
-"""Replay cases/function/test_batch_request.yaml through run_sql_request.
+"""Replay the reference's batch-request corpora through run_sql_request:
 
-These are the reference's canonical batch-request-mode cases
-(BatchRequestEngineTestRunner, hybridse/src/testing/engine_test_base.h:
-294-380): stored input rows (with `repeat` expansion) are loaded, the
-batch_request rows are NOT inserted, and each request row computes its
-features over stored state + itself. All nine cases carry literal
-expected rows. `common_column_indices` is a reference-side execution
-optimization (common columns computed once per batch) — output rows are
-identical with or without it, so it is ignored here.
+    cases/function/test_batch_request.yaml        (9 canonical cases)
+    cases/benchmark/batch_request_benchmark.yaml  (4 cases)
+    cases/benchmark/request_benchmark.yaml        (6 cases, LAST JOIN
+        fan-out / multi-window shapes — mode batch-unsupport means
+        REQUEST mode only, which is exactly this entry point)
+    cases/benchmark/udaf_benchmark.yaml           (1 case, 10 UDAFs in
+        one window)
+
+These are BatchRequestEngineTestRunner semantics (hybridse/src/testing/
+engine_test_base.h:294-380): stored input rows (with `repeat`
+expansion) are loaded, the batch_request rows are NOT inserted, and
+each request row computes its features over stored state + itself. All
+cases carry literal expected rows. `common_column_indices` is a
+reference-side execution optimization (common columns computed once per
+batch) — output rows are identical with or without it, so it is
+ignored here.
 """
 
 import os
@@ -19,10 +27,20 @@ from openmldb_spark.sqlfe import run_sql_request
 
 from test_production_scripts import _mkdf, _tokenize
 
-CASE_FILE = "/root/reference/cases/function/test_batch_request.yaml"
+CASE_FILES = [
+    "/root/reference/cases/function/test_batch_request.yaml",
+    "/root/reference/cases/benchmark/batch_request_benchmark.yaml",
+    "/root/reference/cases/benchmark/request_benchmark.yaml",
+    "/root/reference/cases/benchmark/udaf_benchmark.yaml",
+]
 
-with open(CASE_FILE) as f:
-    _CASES = yaml.safe_load(f)["cases"]
+_CASES = []
+for _fp in CASE_FILES:
+    _tag = os.path.basename(_fp).replace(".yaml", "")
+    with open(_fp) as f:
+        for _c in yaml.safe_load(f)["cases"]:
+            _c["__tag"] = f"{_tag}::{_c['id']}"
+            _CASES.append(_c)
 
 
 def _tok(val, typ):
@@ -34,7 +52,8 @@ def _tok(val, typ):
     return _tokenize(val, typ)
 
 
-@pytest.mark.parametrize("case", _CASES, ids=[str(c["id"]) for c in _CASES])
+@pytest.mark.parametrize("case", _CASES,
+                         ids=[c["__tag"] for c in _CASES])
 def test_batch_request_case(spark, case):
     tables = {}
     sql = case["sql"]
@@ -43,7 +62,9 @@ def test_batch_request_case(spark, case):
         inp["rows"] = (inp.get("rows") or []) * int(inp.get("repeat", 1))
         tables[f"__t{i}"] = _mkdf(spark, inp)
         sql = sql.replace(f"{{{i}}}", f"__t{i}")
-    request = _mkdf(spark, case["batch_request"])
+    breq = dict(case["batch_request"])
+    breq["rows"] = (breq.get("rows") or []) * int(breq.get("repeat", 1))
+    request = _mkdf(spark, breq)
 
     out = run_sql_request(spark, sql, tables, request, "__t0")
     rows = out.collect()
