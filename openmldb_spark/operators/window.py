@@ -88,15 +88,16 @@ def _agg_field(agg: Agg, in_field: T.StructField | None) -> T.StructField:
     # lexically)
     if f in ("min", "max", "min_where", "max_where"):
         return T.StructField(agg.alias, in_field.dataType)
-    # sum (+_where): SumUdafDef is T→T. float stays float (deploy corpus
-    # test_create_deploy id 5 pins sum(float)=kFloat); integer inputs
-    # deliberately widen to long — the reference accumulates in the
-    # input's C type and WRAPS on overflow, which we do not reproduce
-    # (documented divergence, yaml_harness int-overflow classifier)
-    if isinstance(in_field.dataType, T.FloatType):
-        return T.StructField(agg.alias, T.FloatType())
-    if isinstance(in_field.dataType, _INT_TYPES):
-        return T.StructField(agg.alias, T.LongType())
+    # sum (+_where): SumUdafDef is T→T — float stays float (deploy corpus
+    # test_create_deploy id 5 pins sum(float)=kFloat) and integer inputs
+    # keep their width WITH the reference's C wraparound on overflow
+    # (restful get_procedure case 7 pins sum(int32)=int32; the
+    # arithmetic corpus value-checks the wrapped sums). Wrap-addition is
+    # associative mod 2^N, so accumulating wide and truncating the
+    # result equals the reference's per-add wraps exactly (kernel casts
+    # through int64 — see group_window_features' dtype loop).
+    if isinstance(in_field.dataType, (T.FloatType, *_INT_TYPES)):
+        return T.StructField(agg.alias, in_field.dataType)
     return T.StructField(agg.alias, T.DoubleType())
 
 
@@ -168,6 +169,14 @@ def _pandas_dtype(dt: T.DataType):
         return "Int64"
     if isinstance(dt, T.DoubleType):
         return "float64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.IntegerType):
+        return "int32"
+    if isinstance(dt, T.ShortType):
+        return "int16"
+    if isinstance(dt, T.ByteType):
+        return "int8"
     return None
 
 
@@ -445,7 +454,23 @@ def window_agg(
             num_partitions = \
                 work.sparkSession.sparkContext.defaultParallelism
         grouped = work.repartition(num_partitions, *group_keys)
-    return grouped.groupBy(*group_keys).applyInPandas(kernel, schema=out_schema).select(*keep_cols, *[a.alias for a in aggs])
+    res = grouped.groupBy(*group_keys).applyInPandas(
+        kernel, schema=out_schema).select(*keep_cols,
+                                          *[a.alias for a in aggs])
+    # T→T result types over TIMESTAMP inputs: the ms-view fed the kernel
+    # int64 milliseconds; min/max/lag/at/first_value/sum of a timestamp
+    # are timestamps in the reference (MaxUdafDef etc. are T→T —
+    # restful get_procedure case 7 pins max(c7)=timestamp). avg stays
+    # double, count long.
+    _TS_PRESERVING = {"min", "max", "min_where", "max_where",
+                      "lag", "at", "first_value", "sum", "sum_where"}
+    for a in aggs:
+        oc = a.col[5:] if a.col and a.col.startswith("__ms_") else a.col
+        if a.func in _TS_PRESERVING and oc in ts_cols:
+            res = res.withColumn(
+                a.alias,
+                F.timestamp_millis(F.col(a.alias).cast("long")))
+    return res
 
 
 def _salt_by_quantiles(work: DataFrame, keys: list[str], spec: WindowSpec,

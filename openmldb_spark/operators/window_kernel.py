@@ -850,6 +850,20 @@ def group_window_features(
                     d = str(dt)
                     if d.startswith(("int", "float")):
                         dt = d.capitalize()
+                d = str(dt)
+                if d.startswith("int") and str(out[c].dtype) == "float64":
+                    if np.isfinite(out[c].to_numpy()).all():
+                        # integer result from the float64 accumulator:
+                        # cast through int64 so narrow widths TRUNCATE
+                        # mod 2^N — the reference's C wraparound for sum
+                        # overflow (float64→int32 directly is UB for
+                        # out-of-range values)
+                        out[c] = out[c].astype("int64").astype(d)
+                    else:
+                        # NULL-carrying min/max: NaN → NA via the
+                        # nullable counterpart
+                        out[c] = out[c].astype(d.capitalize())
+                    continue
                 try:
                     out[c] = out[c].astype(dt)
                 except (TypeError, ValueError):

@@ -345,6 +345,9 @@ def create_deployment(spark, stmt: str, tables: dict, deployments: dict,
         "sql": format_deploy_sql(name, body),
         "inColumns": in_cols,
         "outColumns": _kcolumns(out_df.schema),
+        # execution handles (sources/procedure.execute_deployment_rows)
+        "body": body,
+        "mainTable": main,
     }
 
 

@@ -344,6 +344,7 @@ def run_statement(spark, stmt: str, tables: dict,
                   path_resolver=None, params=None,
                   catalog: dict | None = None,
                   deployments: dict | None = None,
+                  procedures: dict | None = None,
                   db: str | None = None) -> DataFrame | None:
     """Execute one statement of the offline job surface: SELECT INTO
     OUTFILE writes, LOAD DATA INFILE (re)binds a table in ``tables``,
@@ -381,6 +382,15 @@ def run_statement(spark, stmt: str, tables: dict,
                 [(d["name"], d["dbName"], d["sql"])],
                 "name string, db string, sql string")
         _dep.drop_deployment(stmt, deployments)
+        return None
+    if head.startswith(("create procedure", "drop procedure")):
+        from openmldb_spark.sources import procedure as _proc
+        if procedures is None:
+            procedures = {}
+        if head.startswith("create procedure"):
+            _proc.create_procedure(spark, stmt, tables, procedures)
+        else:
+            _proc.drop_procedure(stmt, procedures)
         return None
     if head.startswith("create table"):
         spec = _ddl.parse_create_table(stmt)

@@ -3,9 +3,9 @@ stack (run_sql → window_agg → Arrow kernel). ~5 min, so opt-in:
 
     SPARK_GRAFT_FULL_CORPUS=1 python -m pytest tests/test_full_corpus_spark.py
 
-Last recorded run (2026-08-17, round 2): 190 ok / 0 fail / 36 skip
-(34 no-literal-expectation cases + 2 documented int-overflow-widening
-divergences; every case inside the SQL surface passes).
+Last recorded run (2026-08-19, round 4): 202 ok / 0 fail / 2 skip
+(the former int-overflow-widening skips are GREEN now that sums keep
+the reference's T→T types with mod-2^N wraparound).
 The always-on equivalents: kernel-level corpus in
 test_reference_cases.py (fast) + the PICKS slice in test_sqlfe.py.
 """
@@ -87,12 +87,11 @@ def test_full_window_corpus_through_spark(spark):
             except AssertionError as e:
                 fail.append((f, case.get("id"), str(e)[:100]))
     assert not fail, fail
-    # round 3: the former "no literal expect" skips turned out to be
-    # `data:`-format cases — now parsed and VALUE-checked (ok), so the
-    # ratchet moves 190 → 200; remaining skip budget covers the 2
-    # documented int-widening divergences
-    assert ok >= 200, f"only {ok} corpus cases passed the Spark path"
-    assert skip <= 4, f"{skip} corpus skips (budget 4)"
+    # round 4: sums wrap mod 2^N like the reference, so the 2 former
+    # int-widening skips value-check green — ratchet 200 → 202,
+    # skip budget 4 → 2
+    assert ok >= 202, f"only {ok} corpus cases passed the Spark path"
+    assert skip <= 2, f"{skip} corpus skips (budget 2)"
 
 
 def _check_limit(got, full, exp, n):
@@ -151,11 +150,8 @@ def _check(got, exp):
                 if isinstance(gv, pd.Timestamp):
                     gv = gv.value // 10**6  # ns → ms (OpenMLDB int64 ms)
                 gi = int(float(gv))  # nullable-int columns come back float
-                if gi != int(ev) and t in ("int", "smallint"):
-                    bits = 32 if t == "int" else 16
-                    if ((gi + (1 << (bits - 1))) % (1 << bits)) - (
-                            1 << (bits - 1)) == int(ev):
-                        raise Unsupported("int overflow wrap (we widen)")
+                # round-4: sums wrap mod 2^N like the reference — wrapped
+                # expectations compare exactly (no widen-skip)
                 assert gi == int(ev)
             elif t == "date":
                 # corpus dates may be non-padded ('2012-8-11')

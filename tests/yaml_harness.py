@@ -136,11 +136,21 @@ def _run_window(pdf0, types0, inputs, spec, union_idx, aggs) -> pd.DataFrame:
     work = work[work[ORD].notna() & (work[ORD] >= 0)].copy()
     work[ORD] = work[ORD].astype("int64")
 
+    # reference T→T sum result types: narrow int sums truncate mod 2^N
+    # (C wraparound), float sums stay float32 — mirror window._agg_field
+    _sum_dtypes = {"int": "int32", "int32": "int32", "smallint": "int16",
+                   "int16": "int16", "bigint": "int64", "int64": "int64",
+                   "float": "float32"}
+    out_dtypes = {a.alias: _sum_dtypes[types0[a.col]]
+                  for a in aggs
+                  if a.func in ("sum", "sum_where")
+                  and types0.get(a.col) in _sum_dtypes}
+
     outs = []
     for _, grp in work.groupby(list(spec.partition_by), dropna=False,
                                sort=False):
         outs.append(group_window_features(
-            grp.reset_index(drop=True), spec, aggs, [_RID]))
+            grp.reset_index(drop=True), spec, aggs, [_RID], out_dtypes))
     if not outs:
         return pd.DataFrame(columns=[_RID] + [a.alias for a in aggs])
     return pd.concat(outs, ignore_index=True)
@@ -206,17 +216,10 @@ def check_case(case: dict) -> None:
                                     abs_tol=1e-5), (cname, gv, ev)
             elif ctype in ("int", "bigint", "smallint", "timestamp"):
                 assert gv is not None and not pd.isna(gv), (cname, erow)
+                # round-4: sums keep the reference's T→T result type with
+                # C wraparound (window._agg_field + kernel mod-2^N cast),
+                # so wrapped expectations now compare EXACTLY — no skip
                 gi = int(round(float(gv)))
-                if gi != int(ev) and ctype in ("int", "smallint"):
-                    bits = 32 if ctype == "int" else 16
-                    wrapped = ((gi + (1 << (bits - 1))) % (1 << bits)) - (
-                        1 << (bits - 1))
-                    if wrapped == int(ev):
-                        # the reference accumulates in the input's C type
-                        # and wraps on overflow (SumUdafDef templates<T,T,T>);
-                        # we deliberately widen — documented divergence
-                        raise Unsupported(
-                            f"int{bits} overflow wrap (we widen)")
                 assert gi == int(ev), (cname, gv, ev)
             else:
                 assert str(gv) == str(ev), (cname, gv, ev)
