@@ -296,8 +296,8 @@ def format_deploy_sql(name: str, body: str) -> str:
 # ------------------------------------------------------------- statements
 
 _DEPLOY_RE = re.compile(
-    r"(?is)^\s*deploy\s+(?:options\s*\((?P<opts>[^)]*)\)\s+)?"
-    r"(?P<name>[A-Za-z_]\w*)\s+(?P<body>.*?);?\s*$")
+    r"(?is)^\s*deploy\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"(?:options\s*\((?P<opts>[^)]*)\)\s+)?(?P<body>.*?);?\s*$")
 
 
 def _main_table(body: str, tables: dict) -> str | None:
