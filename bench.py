@@ -71,6 +71,7 @@ HEADLINE = [
     "string_cmp_coercion",
     "window_nested_agg",
     "window_anchor_count_where",
+    "ann_ivf_topk",
 ]
 
 

@@ -127,6 +127,105 @@ def ann_lsh(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame, nlist: int,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic sample-init coarse quantizer: the ``nlist`` corpus
+    vectors with the smallest ids, as (cid, vector) pairs.
+
+    This is FAISS-style IVF initialization with zero Lloyd refinement
+    steps, chosen so the quantizer is fully reproducible in ANSI SQL
+    (``ORDER BY id LIMIT nlist``) and therefore oracle-checkable.
+    Collecting the quantizer to the driver is the bounded deliberate
+    action IVF is built on: the codebook is driver/broadcast-resident by
+    design (nlist ≤ 2^16 rows × dim floats — a few MB at production
+    sizes, independent of corpus scale)."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .collect()
+    )
+    return [(int(r[0]), [float(v) for v in r[1]]) for r in rows]
+
+
+def _centroid_sims(vec: Column, centroids) -> list[tuple[int, Column]]:
+    return [
+        (cid, cosine_col(vec, F.array(*[F.lit(v) for v in cv])))
+        for cid, cv in centroids
+    ]
+
+
+def ivf_assign_col(vec: Column, centroids) -> Column:
+    """Nearest-centroid list id (cosine argmax, ties → smallest cid).
+
+    Pure Catalyst expression over plan-time centroid literals — map-only,
+    whole-stage-codegen'd, no shuffle and no Python. max of
+    struct(sim, -cid) picks the highest sim, then the smallest cid."""
+    packed = F.array(*[
+        F.struct(s.alias("s"), F.lit(-cid).alias("n"))
+        for cid, s in _centroid_sims(vec, centroids)
+    ])
+    return -F.array_max(packed)["n"]
+
+
+def ivf_probe_col(vec: Column, centroids, nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids for a query vector, as an
+    array (same tie order as ivf_assign_col)."""
+    packed = F.array(*[
+        F.struct(s.alias("s"), F.lit(-cid).alias("n"))
+        for cid, s in _centroid_sims(vec, centroids)
+    ])
+    top = F.slice(F.sort_array(packed, asc=False), 1, nprobe)
+    return F.transform(top, lambda x: -x["n"])
+
+
+def ann_ivf(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    nlist: int = 8, nprobe: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``nlist``
+    coarse-quantizer cells, probe only the ``nprobe`` cells nearest each
+    query. The classic large-scale ANN layout (complement to ann_lsh).
+
+    Scale shape: corpus cell assignment is a map-only literal expression
+    (at 100 TB you materialize it once, partitioned by list id — same
+    write-once discipline as the MinHash signatures); queries are small
+    and broadcast with their probe lists; the candidate join is
+    broadcast + array_contains (no corpus shuffle); the only exchange is
+    the per-query top-k over the pruned candidates. Recall < 1 by
+    construction for nprobe < nlist; nprobe = nlist degrades exactly to
+    ann_bruteforce (asserted in tests)."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_centroids(corpus, nlist, vec_col, id_col)
+    corpus = ensure_parallelism(corpus)
+    cb = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        ivf_assign_col(F.col(vec_col), centroids).alias("__list"),
+    )
+    qb = F.broadcast(queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+        ivf_probe_col(F.col(vec_col), centroids, nprobe).alias("__probes"),
+    ))
+    sims = cb.join(qb, F.array_contains(qb["__probes"], cb["__list"])).select(
+        query_id_col, id_col,
+        cosine_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, id_col, "rk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame, threshold: float = 0.95,
     vec_col: str = "embedding", id_col: str = "vec_id",

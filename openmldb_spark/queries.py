@@ -1032,6 +1032,68 @@ FROM r WHERE rk <= 10
 """
 
 
+_IVF_NLIST = 8
+_IVF_NPROBE = 2
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN — the coarse-quantizer scale path (complement
+    to the hyperplane-LSH path): corpus assigned to nlist cells by a
+    deterministic sample-init codebook, queries probe their nprobe
+    nearest cells. Full value oracle: DuckDB rebuilds the identical
+    quantizer (ORDER BY id LIMIT nlist), cell assignment (argmax cosine,
+    ties to smallest cid), probe list, and pruned top-k."""
+    from openmldb_spark.pipeline.similarity import ann_ivf
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qset = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ann_ivf(e, qset, k=10, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id ASC LIMIT {_IVF_NLIST}
+), asg0 AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                    c.cid ASC) AS ark
+  FROM embeddings e CROSS JOIN cent c
+), asg AS (
+  SELECT vec_id, embedding, cid AS list_id FROM asg0 WHERE ark = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 5
+), probe AS (
+  SELECT q.query_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(
+                        CAST(q.qv AS DOUBLE[]), c.cv) DESC,
+                    c.cid ASC) AS pr
+  FROM q CROSS JOIN cent c
+), s AS (
+  SELECT q.query_id, a.vec_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[])) AS c
+  FROM q
+  JOIN probe p ON p.query_id = q.query_id AND p.pr <= {_IVF_NPROBE}
+  JOIN asg a ON a.list_id = p.cid
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY c DESC, vec_id ASC) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rk AS INT) AS rk,
+       ROUND(ROUND(c, 6), 4) AS cosine
+FROM r WHERE rk <= 10
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmldb_spark.pipeline.similarity import embedding_near_dups
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1528,6 +1590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "minhash_lsh_fast": q_minhash_lsh_fast,
@@ -1576,6 +1639,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH_LSH,
     "ann_cosine_topk": SQL_ANN_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "embedding_near_dups_lsh": SQL_EMBEDDING_NEAR_DUPS_LSH,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,

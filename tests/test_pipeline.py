@@ -93,6 +93,32 @@ def test_ann_lsh_subset_and_recall(spark, embs):
             assert r.vec_id == r.query_id and abs(r.cosine - 1.0) < 1e-4
 
 
+def test_ann_ivf_degrades_to_bruteforce_and_probes_own_cell(spark, embs):
+    from openmldb_spark.pipeline.similarity import (ann_bruteforce, ann_ivf,
+                                                    ivf_centroids)
+    qset = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = ivf_centroids(embs, 8)
+    assert [c for c, _ in cents] == sorted(c for c, _ in cents)
+
+    # nprobe == nlist searches every cell => exactly the brute-force result
+    bf = {(r.query_id, r.vec_id): (r.rk, r.cosine)
+          for r in ann_bruteforce(embs, qset, k=5).collect()}
+    full = {(r.query_id, r.vec_id): (r.rk, r.cosine)
+            for r in ann_ivf(embs, qset, k=5, nlist=8, nprobe=8,
+                             centroids=cents).collect()}
+    assert full == bf
+
+    # nprobe < nlist: pruned search — subset of corpus, exact cosines for
+    # what it does return, and the query's own cell is always probe #1
+    # (its nearest centroid IS its assignment cell), so rank-1 == self.
+    ivf = ann_ivf(embs, qset, k=5, nlist=8, nprobe=2,
+                  centroids=cents).collect()
+    for r in ivf:
+        if r.rk == 1:
+            assert r.vec_id == r.query_id and abs(r.cosine - 1.0) < 1e-4
+
+
 def test_multimodal_batch_plumbing(spark, docs):
     from openmldb_spark.pipeline.multimodal import (decode_features,
                                                     frame_sample, resize,
