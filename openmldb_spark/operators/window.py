@@ -350,6 +350,8 @@ def window_agg(
             needed.add(a.cond)
         if a.cate:
             needed.add(a.cate)
+        if a.cond_anchor:
+            needed.add(a.cond_anchor)
     needed_cols = [c for c in df.columns if c in needed]
 
     work = (

@@ -588,6 +588,34 @@ def group_window_features(
         c = pc[hi] - pc[lo] + ok.astype(np.float64)
         return s, c
 
+    def agg_sum_int(col, cond, dtype):
+        """Integer-typed sum: accumulate in int64, not float64. numpy
+        int64 wraps mod 2^64 like the reference's C accumulator, so
+        frame sums stay exact even after a group's running prefix sum
+        passes 2^53 (where the float64 prefix path silently loses
+        low-order bits); truncating the mod-2^64 result to the narrow
+        width equals the reference's per-add wraparound."""
+        x, x_e, nn = numeric(col)
+        if cond is None:
+            m = nn
+        else:
+            m = nn & pdf[cond].fillna(False).to_numpy(bool)[idx_e]
+        if pd.api.types.is_integer_dtype(pdf[col].dtype):
+            # na_value=0: nullable Int columns — the mask m / ok already
+            # excludes NULL positions, so the fill never contributes
+            xi = pdf[col].to_numpy(dtype=np.int64, na_value=0)
+            xe_i = np.where(m, xi[idx_e], 0)
+            sv_i = xi[E]
+        else:
+            # null-carrying column arrives float64: element-exact < 2^53
+            xe_i = np.where(m, x_e, 0.0).astype(np.int64)
+            sv_i = np.where(np.isnan(x[E]), 0.0, x[E]).astype(np.int64)
+        ps = np.zeros(len(xe_i) + 1, dtype=np.int64)
+        np.cumsum(xe_i, out=ps[1:])
+        _, ok = self_vals(col, cond)
+        s = ps[hi] - ps[lo] + np.where(ok, sv_i, 0)
+        return s.astype(dtype)
+
     for agg in aggs:
         f, col, alias = agg.func, agg.col, agg.alias
         if f == "count_where" and agg.cond_anchor:
@@ -635,6 +663,12 @@ def group_window_features(
                     okc = okc & cm[E]
                 pc = _prefix(m_e.astype(np.float64))
                 out[alias] = pc[hi] - pc[lo] + okc.astype(np.float64)
+                continue
+            if (f.startswith("sum") and out_dtypes
+                    and str(out_dtypes.get(alias, "")).lower()
+                    .startswith("int")):
+                out[alias] = agg_sum_int(
+                    col, cond, str(out_dtypes[alias]).lower())
                 continue
             s, c = agg_sum_count(col, cond)
             if f.startswith("sum"):

@@ -160,7 +160,15 @@ def _norm_index(opts: dict) -> dict:
     elif tt in ("absandlat", "absorlat"):
         tm = re.fullmatch(r"\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)", ttl)
         sep = "&&" if tt == "absandlat" else "||"
-        norm_ttl = f"{_ttl_minutes(tm.group(1))}min{sep}{int(tm.group(2))}"
+        if tm is None:
+            # no ttl given: the reference defaults both bounds to 0
+            if ttl:
+                raise DdlError(
+                    f"{tt} ttl {ttl!r} needs a (time, count) pair")
+            norm_ttl = f"0min{sep}0"
+        else:
+            norm_ttl = (f"{_ttl_minutes(tm.group(1))}min{sep}"
+                        f"{int(tm.group(2))}")
     else:
         norm_ttl = f"{_ttl_minutes(ttl) if ttl else 0}min"
     keys = opts.get("key") or ""
@@ -506,6 +514,48 @@ def _coerce(value, kind, field: T.StructField):
     return value
 
 
+def _split_values(vals: str) -> list[list[str]]:
+    """Quote-aware scan of the VALUES tail: the comma-split raw tokens
+    of each parenthesized row. String literals may contain commas and
+    parens (`('a,b', 1)`, `('a)b')`) — the old regex split was
+    quote-blind and rejected / truncated those."""
+    rows: list[list[str]] = []
+    cur_row: list[str] = []
+    cur_tok: list[str] = []
+    depth, quote = 0, None
+    for ch in vals:
+        if quote:
+            cur_tok.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                cur_row, cur_tok = [], []
+                continue
+        elif ch == ")":
+            if depth == 0:
+                raise DdlError("unbalanced ')' in INSERT VALUES")
+            depth -= 1
+            if depth == 0:
+                cur_row.append("".join(cur_tok))
+                rows.append(cur_row)
+                cur_row, cur_tok = [], []
+                continue
+        elif ch == "," and depth == 1:
+            cur_row.append("".join(cur_tok))
+            cur_tok = []
+            continue
+        elif ch in ("'", '"') and depth >= 1:
+            quote = ch
+        if depth >= 1:
+            cur_tok.append(ch)
+    if depth != 0 or quote is not None:
+        raise DdlError("unbalanced parens or quotes in INSERT VALUES")
+    return rows
+
+
 def parse_insert(stmt: str):
     """INSERT INTO t [(cols)] VALUES (..), (..) →
     (table, cols|None, [[(value, kind), ...], ...])."""
@@ -515,27 +565,17 @@ def parse_insert(stmt: str):
     cols = None
     if m.group("cols") is not None:
         cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
-    rows = []
-    vals = m.group("vals")
-    for rm in re.finditer(r"\(([^()]*)\)", vals):
-        toks, depth, cur = [], 0, []
-        for ch in rm.group(1):
-            if ch == "," and depth == 0:
-                toks.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
-        toks.append("".join(cur))
-        rows.append([_parse_literal(t) for t in toks])
+    rows = [[_parse_literal(t) for t in toks]
+            for toks in _split_values(m.group("vals"))]
     if not rows:
         raise DdlError("INSERT without VALUES rows")
     return m.group("t"), cols, rows
 
 
 def insert_into(spark, stmt: str, tables: dict, params=None):
-    """Execute INSERT INTO against `tables`, returning the appended
-    DataFrame to rebind. `params` binds ? placeholders (prepared insert,
-    one row per VALUES tuple × params row)."""
+    """Execute INSERT INTO against `tables`, returning (table_name,
+    appended DataFrame) for the caller to rebind. `params` binds ?
+    placeholders (prepared insert, one row per VALUES tuple)."""
     tname, cols, rows = parse_insert(stmt)
     if tname not in tables:
         raise DdlError(f"table {tname!r} does not exist")
@@ -565,4 +605,4 @@ def insert_into(spark, stmt: str, tables: dict, params=None):
                 for c, (v, k) in zip(cols, r)}
         out_rows.append([vals.get(f.name) for f in prior.schema.fields])
     appended = spark.createDataFrame(out_rows, prior.schema)
-    return prior.unionByName(appended)
+    return tname, prior.unionByName(appended)

@@ -403,9 +403,11 @@ def run_statement(spark, stmt: str, tables: dict,
     if head.startswith("create index"):
         existing = []
         if catalog is not None:
-            tm = _re.search(r"(?i)\bon\s+(\S+)", stmt)
+            # stop at '(' so the no-space spelling `ON t1(c1)` still
+            # resolves the table (dup-index check must not be bypassed)
+            tm = _re.search(r"(?i)\bon\s+([^\s(;]+)", stmt)
             if tm:
-                existing = catalog.get(tm.group(1).rstrip(";"), [])
+                existing = catalog.get(tm.group(1), [])
         t, _, entry = _ddl.validate_create_index(stmt, tables,
                                                  existing=existing)
         if catalog is not None:
@@ -421,9 +423,9 @@ def run_statement(spark, stmt: str, tables: dict,
         return spark.createDataFrame(
             rows, "name string, type string, nullable string")
     if head.startswith("insert "):
-        tname, _, _ = _ddl.parse_insert(stmt)
-        tables[tname] = _ddl.insert_into(spark, stmt, tables,
-                                         params=params)
+        tname, appended = _ddl.insert_into(spark, stmt, tables,
+                                           params=params)
+        tables[tname] = appended
         return None
     m = _OUTFILE_RE.match(stmt)
     if m:

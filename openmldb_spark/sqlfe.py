@@ -275,7 +275,8 @@ def _num_cast(a: str, typ: str) -> str:
             f"WHEN typeof({a}) IN ('tinyint', 'smallint', 'int', 'bigint') "
             f"THEN try_cast(try_cast({s} as bigint) as {typ}) "
             f"WHEN typeof({a}) = 'boolean' "
-            f"THEN try_cast(IF({s} = 'true', 1, 0) as {typ}) "
+            f"THEN try_cast(IF({s} = 'true', 1, "
+            f"IF({s} = 'false', 0, NULL)) as {typ}) "
             f"ELSE try_cast({s} as {typ}) END)")
 
 
@@ -1743,7 +1744,14 @@ def _lower_nested_sum(argtxt: str, wname: str, alloc) -> str:
         sign, rcol, const_expr = lower_term(*terms[0])
         scol = alloc.get(wname, {"func": "sum", "col": rcol, "param": None,
                                  "cond": None, "cate": None})
-        body = f"({scol} * {const_expr})" if const_expr else f"({scol})"
+        if const_expr:
+            # NULL frame-constant K: every addend R*K is NULL, so the
+            # reference's 0-initialized sum accumulator emits 0 — the
+            # plain scol*K decomposition would emit NULL
+            body = (f"(IF(({const_expr}) IS NULL, 0, "
+                    f"{scol} * ({const_expr})))")
+        else:
+            body = f"({scol})"
         return f"(- {body})" if sign == "-" else body
     if len(terms) == 2:
         nested = [_has_nested_agg_call(t) for _, t in terms]
@@ -1763,7 +1771,9 @@ def _lower_nested_sum(argtxt: str, wname: str, alloc) -> str:
                                      "cate": None})
             rpart = f"({scol})" if rs == "+" else f"(- {scol})"
             kpart = f"({ccol} * ({cexpr}))"
-            return f"({rpart} {'+' if cs == '+' else '-'} {kpart})"
+            # NULL frame-constant: all addends R±K are NULL → ref sum = 0
+            return (f"(IF(({cexpr}) IS NULL, 0, "
+                    f"{rpart} {'+' if cs == '+' else '-'} {kpart}))")
     raise SqlUnsupported(f"nested aggregate shape sum({argtxt})")
 
 

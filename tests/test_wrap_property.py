@@ -78,3 +78,33 @@ def test_int16_window_sum_wraps_like_reference(vals, prec):
     got = _run_kernel(vals, prec, "Int16", "int16")
     want = _oracle_sums(vals, prec, 16)
     assert got == want, (vals, prec, got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.integers(-2**63, 2**63 - 1)),
+                min_size=1, max_size=40),
+       st.integers(0, 6))
+def test_int64_window_sum_wraps_like_reference(vals, prec):
+    """Full-domain int64 values: prefix sums blow past 2^53 immediately,
+    so this pins the int64 accumulator path (the float64 prefix path
+    loses low-order bits and fails this)."""
+    got = _run_kernel(vals, prec, "Int64", "int64")
+    want = _oracle_sums(vals, prec, 64)
+    assert got == want, (vals, prec, got, want)
+
+
+def test_int32_sum_exact_when_group_prefix_exceeds_2_53():
+    """A group whose RUNNING prefix sum passes 2^53 while every frame
+    sum stays small: the old float64 prefix accumulator dropped
+    low-order bits here (spacing 2 at 1e16), so late-row frame sums
+    came out wrong; the int64 accumulator path must stay exact.
+    5M rows of INT32_MAX -> prefix ~1.07e16 > 2^53 ~ 9.0e15."""
+    n, prec, v = 5_000_000, 3, 2**31 - 1
+    got = _run_kernel([v] * n, prec, "int32", "int32")
+    # analytic per-add-wrap oracle: frame holds min(i, prec)+1 copies
+    m = 1 << 32
+    wrapped = [((k * v) % m) - m if ((k * v) % m) >= m // 2
+               else (k * v) % m for k in range(1, prec + 2)]
+    want = [wrapped[min(i, prec)] for i in range(n)]
+    assert got == want
