@@ -72,6 +72,9 @@ HEADLINE = [
     "window_nested_agg",
     "window_anchor_count_where",
     "ann_ivf_topk",
+    # round 4 late: duplicate-cluster labeling (large-star/small-star
+    # connected components over near-dup pairs)
+    "dedup_clusters",
 ]
 
 

@@ -1,0 +1,114 @@
+"""Connected components over near-duplicate pairs — the clustering step
+a real dedup pipeline needs after pair generation: pairs → duplicate
+clusters → one canonical document per cluster.
+
+Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC '14). Each round
+is two key-grouped aggregations over the EDGE set only — no vertex
+state table is joined, so memory is O(edges per key) and the edge
+multiset contracts toward the star form. Converges in O(log n) rounds
+(vs O(graph diameter) for plain min-label propagation), which is what
+makes it safe on adversarial chain-shaped graphs at 100 TB scale. Each
+round ends with an eager ``localCheckpoint`` to truncate the iterative
+lineage (otherwise the plan — and task-serialization cost — grows per
+round).
+
+The reference engine has no graph operator; this is a build-brief
+training-data-pipeline addition (SURVEY.md "beyond the reference").
+Component labels are the MIN node id (total order on ids), so results
+are deterministic and the label doubles as the canonical doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst"))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("mn", "src").alias("m"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low, then connect every not-larger neighbor
+    (and u itself) to the minimum."""
+    canon = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    mins = canon.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        canon.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(src, dst) pair DataFrame → (id, component) for every id that
+    appears in a pair; component = min id of its connected component.
+    Ids of any orderable type (tested with strings)."""
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_cnt = edges.count()
+    for _ in range(max_iter):
+        edges_new = _small_star(_large_star(edges)) \
+            .localCheckpoint(eager=True)
+        cnt = edges_new.count()
+        if cnt == prev_cnt and edges_new.exceptAll(edges).isEmpty():
+            edges = edges_new
+            break
+        edges, prev_cnt = edges_new, cnt
+    # star form: every non-root points at its component root
+    labels = edges.groupBy("src").agg(F.min("dst").alias("component")) \
+        .select(F.col("src").alias("id"), "component")
+    roots = (
+        edges.select(F.col("dst").alias("id"))
+        .distinct()
+        .join(labels, "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    return labels.union(roots)
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Every doc → (doc_id, component, is_canonical, cluster_size).
+    Docs in no pair are their own singleton cluster; the canonical doc
+    of a cluster is the min doc id (deterministic keep-one policy)."""
+    comp = connected_components(pairs)
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.select(F.col("id").alias("doc_id"), "component"),
+              "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("component", "doc_id").alias("component"))
+        .withColumn("cluster_size",
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy("component")))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+    )
+    return out.select("doc_id", "component", "is_canonical", "cluster_size")

@@ -954,6 +954,19 @@ WHERE i / (sa.n + sb.n - i) >= 0.4
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical doc per
+    cluster (alternating large-star/small-star; pipeline/cluster.py).
+    Pair generator = the banded MinHash scale path, so the whole chain
+    is the one you'd run at 100 TB."""
+    from openmldb_spark.pipeline.cluster import dedup_clusters
+    from openmldb_spark.pipeline.dedup import minhash_lsh_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", bands=4,
+                              rows_per_band=2, shingle_k=3, threshold=0.4)
+    return dedup_clusters(d, pairs)
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmldb_spark.pipeline.dedup import minhash_lsh_pairs
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1004,6 +1017,28 @@ WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
 
 
 SQL_MINHASH_LSH = _minhash_sql()
+
+# dedup_clusters oracle: min-reachable-id via a recursive CTE over the
+# symmetrized pair set (same banded-MinHash pair generator as
+# SQL_MINHASH_LSH); docs in no pair label themselves
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+lab AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY 1)
+SELECT doc_id, component,
+       doc_id = component AS is_canonical,
+       count(*) OVER (PARTITION BY component) AS cluster_size
+FROM lab
+"""
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1588,6 +1623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1637,6 +1673,7 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
