@@ -86,10 +86,70 @@ def _date_format(x, fmt) -> Column:
     return F.date_format(_local8(x), strftime_to_java(fmt))
 
 
+def lone_trailing_escape(pat: str, esc: str) -> bool:
+    """True if the pattern ends on an unpaired escape character — the
+    reference's like_internal returns false for every non-null input in
+    that case (udf.cc:339-342), while Spark raises ESC_AT_THE_END."""
+    i, n = 0, len(pat)
+    while i < n:
+        if pat[i] == esc:
+            if i + 1 >= n:
+                return True
+            i += 2
+        else:
+            i += 1
+    return False
+
+
+def normalize_like_pattern(pat: str, esc: str) -> str:
+    """The reference's like_internal treats ``esc`` + ANY char as an
+    exact match of that char (udf.cc:336-348); Spark only allows the
+    escape before ``%``/``_``/the escape itself and raises
+    INVALID_FORMAT.ESC_IN_THE_MIDDLE otherwise. Drop the escape where
+    the following char isn't special — the patterns are equivalent."""
+    out, i, n = [], 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == esc and i + 1 < n:
+            nxt = pat[i + 1]
+            if nxt in ("%", "_", esc):
+                out.append(c)
+                out.append(nxt)
+            else:
+                out.append(nxt)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _like_const_false(s: Column) -> Column:
+    """like_internal's constant-false tail, NULL-propagating the target."""
+    return F.when(s.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.lit(False))
+
+
+def _norm_lit_like(s: Column, pat, esc: str):
+    """For a literal pattern, pre-handle the two reference edges Spark
+    rejects: a lone trailing escape (constant false, udf.cc:339-342) and
+    an escape before an ordinary char (match that char exactly). Returns
+    (pattern, early_result)."""
+    if not isinstance(pat, str):
+        return pat, None
+    if lone_trailing_escape(pat, esc):
+        return pat, _like_const_false(s)
+    return normalize_like_pattern(pat, esc), None
+
+
 def _like_match(s, pat, esc: str | None = None) -> Column:
     """like_match 2/3-arg (escape char; '' disables escaping entirely —
     EscapeLikeMatch, default_udf_library.cc:699-857)."""
     s = _col(s)
+    if esc is None or (isinstance(esc, str) and len(esc) == 1):
+        pat, early = _norm_lit_like(s, pat, esc or "\\")
+        if early is not None:
+            return early
     p = F.lit(pat) if isinstance(pat, str) else pat
     if esc is None:
         return s.like(pat) if isinstance(pat, str) else F.like(s, p)
@@ -101,6 +161,10 @@ def _like_match(s, pat, esc: str | None = None) -> Column:
 
 def _ilike_match(s, pat, esc: str | None = None) -> Column:
     s = _col(s)
+    if esc is None or (isinstance(esc, str) and len(esc) == 1):
+        pat, early = _norm_lit_like(s, pat, esc or "\\")
+        if early is not None:
+            return early
     p = F.lit(pat) if isinstance(pat, str) else pat
     if esc is None:
         return F.ilike(s, p)

@@ -533,6 +533,24 @@ def _like_never_matches(s: str, negate: bool = False) -> str:
             f"ELSE {v} END)")
 
 
+def _sql_str_lit(v: str) -> str:
+    """Re-emit a runtime string value as a Spark SQL literal."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _norm_pat_sql(pat: str, esc: str) -> str:
+    """If the pattern is a literal, rewrite escape-before-ordinary-char
+    pairs to the bare char (reference matches them exactly, udf.cc:
+    336-348; Spark raises ESC_IN_THE_MIDDLE). Non-literal patterns pass
+    through (documented divergence)."""
+    pv = _str_lit_value(pat)
+    if pv is None:
+        return pat
+    from openmldb_spark.functions.registry import normalize_like_pattern
+    nv = normalize_like_pattern(pv, esc)
+    return _sql_str_lit(nv) if nv != pv else pat
+
+
 def _like_tpl(op: str, s: str, pat: str, esc: str | None = None) -> str:
     """like_match/ilike_match (default_udf_library.cc:699-857): 2-arg and
     3-arg (escape char) forms; NULL pattern/escape → NULL result; the
@@ -541,9 +559,13 @@ def _like_tpl(op: str, s: str, pat: str, esc: str | None = None) -> str:
     argument must be resolvable at translation time. Reference edge
     semantics (udf.cc:325-423): a multi-character escape makes the match
     constant-false, as does a pattern ending on an unpaired escape char
-    — both still NULL-propagate a NULL target."""
+    — both still NULL-propagate a NULL target; an escape before an
+    ordinary char matches that char exactly (lowered via _norm_pat_sql)."""
     if esc is None:
-        return f"(({s}) {op} ({pat}))"
+        pv = _str_lit_value(pat)
+        if pv is not None and _lone_trailing_escape(pv, "\\"):
+            return _like_never_matches(s)
+        return f"(({s}) {op} ({_norm_pat_sql(pat, chr(92))}))"
     e = esc.strip()
     lit = _str_lit_value(e)
     if lit is not None:
@@ -559,7 +581,8 @@ def _like_tpl(op: str, s: str, pat: str, esc: str | None = None) -> str:
         if pv is not None and _lone_trailing_escape(pv, lit):
             return _like_never_matches(s)
         esc_sql = lit.replace("\\", "\\\\").replace("'", "\\'")
-        return f"(({s}) {op} ({pat}) ESCAPE '{esc_sql}')"
+        return (f"(({s}) {op} ({_norm_pat_sql(pat, lit)}) "
+                f"ESCAPE '{esc_sql}')")
     if re.fullmatch(r"(?is)null|string\s*\(\s*null\s*\)|cast\s*\(\s*null.*",
                     e):
         return "cast(NULL as boolean)"   # NULL escape → NULL result
@@ -570,8 +593,8 @@ _LIKE_EDGE_RE = re.compile(
     r"(?P<lhs>\((?:[^()]|\([^()]*\))*\)"
     r"|(?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))*)"
     r"\s+(?P<neg>NOT\s+)?(?P<op>I?LIKE)\s+"
-    r"(?P<pat>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")\s+"
-    r"ESCAPE\s+(?P<esc>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")",
+    r"(?P<pat>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
+    r"(?:\s+ESCAPE\s+(?P<esc>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"))?",
     re.IGNORECASE)
 
 
@@ -592,16 +615,24 @@ def _rewrite_operator_like_edges(text: str) -> str:
     escape is multi-character or the pattern ends on an unpaired escape
     char: constant-false in the reference (udf.cc:325-423, NULL target
     still propagates NULL) but a parse/runtime error in Spark — lower
-    those statically. Matches beginning inside a string literal are
-    left alone (quote-aware, per the segment-walker convention)."""
-    if not re.search(r"\bESCAPE\b", text, re.IGNORECASE):
+    those statically. An escape before an ordinary char (also Spark
+    error, ESC_IN_THE_MIDDLE; exact-match in the reference,
+    udf.cc:336-348) is rewritten to the bare char — including for the
+    default backslash escape of plain LIKE. Matches beginning inside a
+    string literal are left alone (quote-aware, per the segment-walker
+    convention)."""
+    if not re.search(r"\bI?LIKE\b", text, re.IGNORECASE):
         return text
+    from openmldb_spark.functions.registry import normalize_like_pattern
     spans = _string_spans(text)
     out = text
     for m in reversed(list(_LIKE_EDGE_RE.finditer(text))):
         if any(a < m.start() < b for a, b in spans):
             continue
-        esc = _str_lit_value(m.group("esc"))
+        if not m.group("esc") and re.match(r"\s+ESCAPE\b", out[m.end():],
+                                           re.IGNORECASE):
+            continue   # non-literal ESCAPE operand — leave untouched
+        esc = _str_lit_value(m.group("esc")) if m.group("esc") else "\\"
         pat = _str_lit_value(m.group("pat"))
         if not esc:
             continue
@@ -611,10 +642,17 @@ def _rewrite_operator_like_edges(text: str) -> str:
             # the like_match() runtime which returns constant-false
             raise SqlUnsupported(
                 f"LIKE escape must be a single character: {esc!r}")
-        if pat is not None and _lone_trailing_escape(pat, esc):
+        if pat is None:
+            continue
+        if _lone_trailing_escape(pat, esc):
             repl = _like_never_matches(m.group("lhs"),
                                        negate=bool(m.group("neg")))
             out = out[:m.start()] + repl + out[m.end():]
+            continue
+        np = normalize_like_pattern(pat, esc)
+        if np != pat:
+            ps, pe = m.span("pat")
+            out = out[:ps] + _sql_str_lit(np) + out[pe:]
     return out
 
 
