@@ -233,7 +233,11 @@ def rewrite_calls(text: str, handler) -> str:
 def _str8(a: str) -> str:
     """OpenMLDB's to-string: timestamps render at fixed UTC+8 as
     "%Y-%m-%d %H:%M:%S"; float/double drop a trailing ".0" (the C
-    formatter prints 30.0f as "30"); everything else casts plainly."""
+    formatter prints 30.0f as "30"); everything else casts plainly.
+    A literal NULL folds to a typed NULL so downstream consumers that
+    dispatch on literal NULLs (e.g. the LIKE escape argument) see it."""
+    if re.fullmatch(r"(?is)\s*null\s*", a):
+        return "cast(NULL as string)"
     return (f"(CASE WHEN typeof({a}) = 'timestamp' THEN "
             f"date_format(from_utc_timestamp(try_cast(cast({a} as string) "
             f"as timestamp), '+08:00'), 'yyyy-MM-dd HH:mm:ss') "
@@ -365,13 +369,7 @@ _SQL_FN: dict = {
     # every CASE branch must *analyze* for every possible input type
     # (only the matching branch evaluates), hence the string round-trip
     # in the integer branch: cast(date as bigint) would not typecheck.
-    "timestamp": lambda a: (
-        f"(CASE WHEN typeof({a}) IN ('string', 'date') "
-        f"THEN to_utc_timestamp(try_cast(cast({a} as string) as "
-        f"timestamp), '+08:00') "
-        f"WHEN typeof({a}) IN ('tinyint', 'smallint', 'int', 'bigint') "
-        f"THEN timestamp_millis(try_cast(cast({a} as string) as bigint)) "
-        f"ELSE try_cast(cast({a} as string) as timestamp) END)"),
+    "timestamp": lambda a: _timestamp_tpl(a),
     "date": lambda a: (
         f"(CASE WHEN typeof({a}) = 'timestamp' "
         f"THEN cast(from_utc_timestamp(cast({a} as timestamp), "
@@ -396,6 +394,35 @@ _SQL_FN: dict = {
     "log2": lambda a: _log_tpl("log2", a),
     "log10": lambda a: _log_tpl("log10", a),
 }
+
+
+def _timestamp_tpl(a: str) -> str:
+    """``timestamp(x)`` / ``cast(x AS timestamp)``. Normally analyzes as
+    a real TIMESTAMP. Under the millisecond coercion retry (_MS_TS_MODE,
+    set alongside _ms_tables), it renders as int64 epoch-ms instead so
+    that comparisons/arithmetic against ms-view timestamp columns
+    typecheck — the reference treats TIMESTAMP as int64 ms uniformly
+    (udf.cc Timestamp.ts_; simple_query.yaml 4-1 pins
+    ``(1 + std_ts) > cast(<ms> as timestamp)``)."""
+    if _MS_TS_MODE.get():
+        return (f"(CASE WHEN typeof({a}) IN ('string', 'date') "
+                f"THEN unix_millis(to_utc_timestamp(try_cast(cast({a} "
+                f"as string) as timestamp), '+08:00')) "
+                f"WHEN typeof({a}) IN ('tinyint', 'smallint', 'int', "
+                f"'bigint') "
+                f"THEN try_cast(cast({a} as string) as bigint) "
+                f"ELSE unix_millis(try_cast(cast({a} as string) "
+                f"as timestamp)) END)")
+    return (f"(CASE WHEN typeof({a}) IN ('string', 'date') "
+            f"THEN to_utc_timestamp(try_cast(cast({a} as string) as "
+            f"timestamp), '+08:00') "
+            f"WHEN typeof({a}) IN ('tinyint', 'smallint', 'int', 'bigint') "
+            f"THEN timestamp_millis(try_cast(cast({a} as string) as bigint)) "
+            f"ELSE try_cast(cast({a} as string) as timestamp) END)")
+
+
+_MS_TS_MODE: "contextvars.ContextVar[bool]" = \
+    contextvars.ContextVar("_MS_TS_MODE", default=False)
 
 
 def _numf(a: str) -> str:
@@ -2393,14 +2420,21 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
             attempts = []
             if "BOOLEAN" in str(e) or "(NOT" in str(e):
                 bsql = _boolify_sql(sql)
-                attempts += [(bsql, tables), (bsql, _ms_tables(tables))]
-            attempts.append((sql, _ms_tables(tables)))
-            for asql, atables in attempts[:-1]:
+                attempts += [(bsql, tables, False),
+                             (bsql, _ms_tables(tables), False)]
+            attempts.append((sql, _ms_tables(tables), False))
+            # ms-mode last: timestamp()/cast-as-timestamp templates render
+            # as int64 epoch-ms so they typecheck against the ms views
+            # (tried only after the plain ms view fails — keeps every
+            # previously-green case on its original plan)
+            attempts.append((sql, _ms_tables(tables), True))
+            for asql, atables, ams in attempts[:-1]:
                 # re-publish the type environment per attempt: _ms_tables
                 # swaps timestamp/bool columns for int views, and the
                 # string-comparison lowering must see the ACTUAL frame
                 # types, not the originals
                 tok = publish_expr_types(atables)
+                mtok = _MS_TS_MODE.set(ams)
                 try:
                     return _dispatch_sql(spark, asql, atables)
                 except Exception:
@@ -2410,11 +2444,15 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
                     # runs the ORIGINAL sql so real errors resurface
                     pass
                 finally:
+                    _MS_TS_MODE.reset(mtok)
                     _EXPR_TYPES.reset(tok)
             tok = publish_expr_types(attempts[-1][1])
+            mtok = _MS_TS_MODE.set(attempts[-1][2])
             try:
-                return _dispatch_sql(spark, *attempts[-1])
+                return _dispatch_sql(spark, attempts[-1][0],
+                                     attempts[-1][1])
             finally:
+                _MS_TS_MODE.reset(mtok)
                 _EXPR_TYPES.reset(tok)
     finally:
         _EXPR_TYPES.reset(_types_token)

@@ -172,6 +172,14 @@ def _excluded(case) -> str | None:
         return "negative case"
     if "%%fun" in str(case.get("sql", "")):
         return "user-defined script function"
+    if any("TODO" in str(t) for t in case.get("tags") or []) and \
+            "timestampadd" in str(case.get("sql", "")).lower():
+        # the reference's own harness skips TODO-tagged cases
+        # (hybridse/src/case/sql_case.cc:1188-1194); timestampadd was
+        # never registered there (simple_query.yaml 4-2 "@chenjing,
+        # support timestampadd"). Other TODO cases still run here —
+        # they pass, so they stay as extra evidence.
+        return "reference TODO: timestampadd never implemented"
     if _ts_scale_quirk(case):
         # e.g. udaf_query id 1: one row's std_ts is 1590115424 (seconds
         # magnitude) among ms-magnitude rows, yet the expectation treats
@@ -235,7 +243,10 @@ def test_minimum_plain_query_coverage(spark):
             except Exception:
                 skip += 1   # analysis/runtime rejection → divergence skip
     assert not fails, fails
-    # last recorded run: 112 ok / 0 fail / 5 skips (2 non-literal LIKE
-    # escapes, 1 bigint<>timestamp comparison coercion, 1 nonexistent
-    # function `timestampaddd`, 1 fz_sql window-over-join-alias shape)
-    assert ok >= 112, f"only {ok} plain-query cases passed"
+    # last recorded run (round 4): 116 ok / 0 fail / 0 skips — the
+    # corpus is fully drained. Round-4 heals: string(null) LIKE escape
+    # (typed-NULL fold in _str8), escape-before-ordinary-char pattern
+    # normalization, and the ms-mode cast retry for
+    # ``(1 + std_ts) > cast(<ms> as timestamp)`` (simple_query 4-1).
+    assert skip == 0, f"{skip} plain-query cases skipped"
+    assert ok >= 116, f"only {ok} plain-query cases passed"
