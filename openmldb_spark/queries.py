@@ -963,7 +963,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmldb_spark.pipeline.dedup import minhash_lsh_pairs
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = minhash_lsh_pairs(d, "text", "doc_id", bands=4,
-                              rows_per_band=2, shingle_k=3, threshold=0.4)
+                              rows_per_band=2, shingle_k=3, threshold=0.4,
+                              materialize="parquet")
     return dedup_clusters(d, pairs)
 
 
