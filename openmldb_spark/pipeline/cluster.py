@@ -72,15 +72,28 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_cnt = edges.count()
+
+    def _sig(df: DataFrame) -> tuple:
+        # One partial-aggregate job: (count, XOR of 64-bit row hashes).
+        # Both edge sets are distinct, so equal count + equal XOR
+        # fingerprint identifies set equality up to a 2^-64-scale
+        # collision — the convergence check without exceptAll's two
+        # extra shuffles. (XOR, not sum: ANSI long sum can overflow.)
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.expr("bit_xor(xxhash64(src, dst))").alias("h")).first()
+        return (r["n"], r["h"])
+
+    prev = _sig(edges)
     for _ in range(max_iter):
+        # non-eager checkpoint: the _sig action below materializes it,
+        # one pass instead of eager-checkpoint + count
         edges_new = _small_star(_large_star(edges)) \
-            .localCheckpoint(eager=True)
-        cnt = edges_new.count()
-        if cnt == prev_cnt and edges_new.exceptAll(edges).isEmpty():
-            edges = edges_new
+            .localCheckpoint(eager=False)
+        cur = _sig(edges_new)
+        edges = edges_new
+        if cur == prev:
             break
-        edges, prev_cnt = edges_new, cnt
+        prev = cur
     # star form: every non-root points at its component root
     labels = edges.groupBy("src").agg(F.min("dst").alias("component")) \
         .select(F.col("src").alias("id"), "component")
