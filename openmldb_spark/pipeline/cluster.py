@@ -83,7 +83,11 @@ def connected_components(
                    F.expr("bit_xor(xxhash64(src, dst))").alias("h")).first()
         return (r["n"], r["h"])
 
-    prev = _sig(edges)
+    # prev=None skips fingerprinting the raw input: round 1's output
+    # equaling the input would only mean the input was already in star
+    # form, which round 2 detects at the same total round count — so
+    # the pre-loop aggregate job is pure overhead.
+    prev = None
     for _ in range(max_iter):
         # non-eager checkpoint: the _sig action below materializes it,
         # one pass instead of eager-checkpoint + count
