@@ -109,8 +109,12 @@ def main() -> None:
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     spark = get_spark(app_name="openmldb-spark-bench")
 
-    # warm-up: JVM + Python worker pool + parquet footer cache
+    # warm-up: JVM + Python worker pool + parquet footer cache — also
+    # touch the documents/embeddings tables so the pipeline-family
+    # queries measure compute, not first-touch page-cache fills
     QUERIES["window_rows_range"](spark, sf_dir).count()
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
