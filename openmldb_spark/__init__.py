@@ -20,6 +20,7 @@ from openmldb_spark.operators.request import request_features
 from openmldb_spark.session import get_spark
 from openmldb_spark.sqlfe import run_sql, run_sql_request
 from openmldb_spark.sources.io import run_statement
+from openmldb_spark.sources.session import Session
 from openmldb_spark.sources.procedure import (execute_procedure,
                                               execute_deployment_rows)
 
@@ -36,6 +37,7 @@ __all__ = [
     "run_sql",
     "run_sql_request",
     "run_statement",
+    "Session",
     "execute_procedure",
     "execute_deployment_rows",
     "get_spark",

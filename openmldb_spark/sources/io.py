@@ -408,10 +408,12 @@ def run_statement(spark, stmt: str, tables: dict,
             tm = _re.search(r"(?i)\bon\s+([^\s(;]+)", stmt)
             if tm:
                 existing = catalog.get(tm.group(1), [])
-        t, _, entry = _ddl.validate_create_index(stmt, tables,
-                                                 existing=existing)
+        t, iname, entry = _ddl.validate_create_index(stmt, tables,
+                                                     existing=existing)
         if catalog is not None:
-            catalog.setdefault(t, []).append(entry)
+            # carry the index name so DROP INDEX (sources/session.py)
+            # can address the entry; layout/dup checks ignore extra keys
+            catalog.setdefault(t, []).append(dict(entry, name=iname))
         return None
     if head.startswith("desc"):
         m = _re.match(r"(?is)^\s*desc(?:ribe)?\s+(\S+?)\s*;?\s*$", stmt)

@@ -128,8 +128,11 @@ def _run_case(spark, case, seq):
     assert not negative, "negative case was accepted"
 
     if "idxs" in expect:
-        # the desc target is the case's table {0}
-        got_idxs = catalog.get(names[0] if names else auto, [])
+        # the desc target is the case's table {0}; drop the
+        # engine-internal index-name key (kept for DROP INDEX) — the
+        # corpus' idxs blocks carry keys/ts/ttl/ttlType only
+        got_idxs = [{k: v for k, v in e.items() if k != "name"}
+                    for e in catalog.get(names[0] if names else auto, [])]
         assert got_idxs == expect["idxs"], (got_idxs, expect["idxs"])
     if "columns" in expect and ("rows" in expect or "data" in expect):
         assert last_df is not None, "no result DataFrame to compare"
