@@ -154,6 +154,20 @@ class Session:
             cat[tname] = kept
             return None
 
+        m = re.match(r"(?is)^explain\s+(.*)$", s, re.DOTALL)
+        if m:
+            # reference EXPLAIN (cases/plan/cmd.yaml id 7) prints the
+            # engine's physical plan; ours is Catalyst's formatted plan
+            # (documented divergence in rendering, same contract)
+            from openmldb_spark.sqlfe import run_sql
+            df = run_sql(self.spark, m.group(1), self._dotted(),
+                         params=params, default_db=self.db)
+            plan = df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted"))
+            return self.spark.createDataFrame(
+                [(plan,)], "plan string")
+
         # everything else: the statement front end, scoped to the
         # current database; pure queries see the whole dotted catalog
         from openmldb_spark.sources.io import run_statement

@@ -108,3 +108,11 @@ def test_register_and_query_parquet_table(spark):
     s.register("documents", docs)
     n = s.execute("select count(*) as n from documents").collect()[0].n
     assert n == docs.count()
+
+
+def test_explain(sess):
+    sess.execute("create table t1 (c1 string, c2 int)")
+    sess.execute("insert into t1 values ('a', 1)")
+    out = sess.execute("EXPLAIN select c1, sum(c2) as s from t1 "
+                       "group by c1").collect()
+    assert len(out) == 1 and "Physical Plan" in out[0].plan
