@@ -296,7 +296,8 @@ def format_deploy_sql(name: str, body: str) -> str:
 # ------------------------------------------------------------- statements
 
 _DEPLOY_RE = re.compile(
-    r"(?is)^\s*deploy\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"(?is)^\s*deploy\s+(?:(?P<ine>if\s+not\s+exists)\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s+"
     r"(?:options\s*\((?P<opts>[^)]*)\)\s+)?(?P<body>.*?);?\s*$")
 
 
@@ -328,6 +329,8 @@ def create_deployment(spark, stmt: str, tables: dict, deployments: dict,
     if not body.lower().startswith("select"):
         raise DeployError("deploy body must be a SELECT statement")
     if name in deployments:
+        if m.group("ine"):
+            return      # DEPLOY IF NOT EXISTS (cases/plan/cmd.yaml)
         raise DeployError(f"deployment {name!r} already exists")
     # cross-database references are rejected by the reference's deploy
     # path (test_create_deploy ids 6/18)

@@ -429,6 +429,12 @@ def run_statement(spark, stmt: str, tables: dict,
                                            params=params)
         tables[tname] = appended
         return None
+    if _re.search(r"(?is)\binto\s+(?:outfile|table)\b", stmt):
+        # trailing CONFIG(...) on LOAD / INTO OUTFILE statements holds
+        # cluster-job hints (job='online', spark=...) — not data
+        # semantics; the reference forwards them to the task manager
+        stmt = _re.sub(r"(?is)\s*\bconfig\s*\((?:[^()']|'[^']*')*\)", "",
+                       stmt)
     m = _OUTFILE_RE.match(stmt)
     if m:
         fmt, opts, mode, _ = _map_rw_options(

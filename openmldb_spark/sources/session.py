@@ -32,6 +32,13 @@ from pyspark.sql import DataFrame
 from openmldb_spark.sources.ddl import DdlError
 
 
+# the reference SDK's session-variable defaults
+# (sql_cluster_router.cc:276-279); the global store starts from the
+# same four (INFORMATION_SCHEMA GLOBAL_VARIABLES presets)
+_VAR_DEFAULTS = {"execute_mode": "offline", "enable_trace": "false",
+                 "sync_job": "false", "job_timeout": "20000"}
+
+
 class Session:
     """One interactive session: ``execute()`` any statement string."""
 
@@ -41,6 +48,8 @@ class Session:
         self._catalogs: dict[str, dict[str, list]] = {}
         self.deployments: dict = {}
         self.procedures: dict = {}
+        self.variables: dict[str, str] = dict(_VAR_DEFAULTS)
+        self.global_variables: dict[str, str] = dict(_VAR_DEFAULTS)
         self.db: str | None = None
         if db:
             self.create_database(db)
@@ -154,17 +163,121 @@ class Session:
             cat[tname] = kept
             return None
 
-        m = re.match(r"(?is)^explain\s+(.*)$", s, re.DOTALL)
+        m = re.match(r"(?is)^set\s+(?:@@(?:(global|session)\s*\.\s*)?"
+                     r"|(global|session)\s+)([`\w]+)\s*=\s*(.+)$", s)
         if m:
-            # reference EXPLAIN (cases/plan/cmd.yaml id 7) prints the
-            # engine's physical plan; ours is Catalyst's formatted plan
-            # (documented divergence in rendering, same contract)
+            # SET @@[scope.]key = literal / SET GLOBAL|SESSION key = v
+            # (SetVariable, sql_cluster_router.cc:2555-2605: key and
+            # value lowercased, typed validation per well-known key,
+            # a GLOBAL set updates the session copy too). A bare
+            # `SET name = ...` (no @@/scope) is the reference parser's
+            # "unsupport syntax" (cmd.yaml id around SET SELECT_MODE).
+            scope = (m.group(1) or m.group(2) or "session").lower()
+            key = m.group(3).strip("`").lower()
+            val = m.group(4).strip().strip(";").strip()
+            if re.match(r"^['\"]", val):
+                if val[-1] != val[0]:
+                    raise DdlError(f"malformed string literal {val!r}")
+                val = val[1:-1]
+            elif not re.fullmatch(r"[\w.]+", val):
+                raise DdlError(f"unsupport syntax: SET value {val!r} "
+                               f"must be a literal")
+            val = val.lower()
+            if key == "execute_mode" and val not in ("online", "offline"):
+                raise DdlError(
+                    "the value of execute_mode must be online|offline")
+            if key in ("enable_trace", "sync_job") and \
+                    val not in ("true", "false"):
+                raise DdlError(f"the value of {key} must be true|false")
+            if key == "job_timeout" and not re.fullmatch(r"-?\d+", val):
+                raise DdlError("Fail to parse value, can't set the "
+                               "request timeout")
+            if scope == "global":
+                self.global_variables[key] = val
+            self.variables[key] = val
+            return None
+        m = re.match(r"(?is)^show\s+(global\s+|session\s+)?variables$", s)
+        if m:
+            scope = (m.group(1) or "session").strip().lower()
+            store = self.global_variables if scope == "global" \
+                else self.variables
+            return self.spark.createDataFrame(
+                sorted(store.items()),
+                "Variable_name string, Value string")
+        if re.match(r"(?is)^show\s+procedures?(\s+status)?$", s):
+            rows = sorted((p.get("db", ""), name)
+                          for name, p in self.procedures.items())
+            return self.spark.createDataFrame(
+                rows, "DB string, Name string") if rows else \
+                self.spark.createDataFrame([], "DB string, Name string")
+        m = re.match(r"(?is)^show\s+create\s+procedure\s+"
+                     r"(?:([`\w]+)\s*\.\s*)?([`\w]+)$", s)
+        if m:
+            name = m.group(2).strip("`")
+            p = self.procedures.get(name)
+            if p is None:
+                raise DdlError(f"procedure {name!r} does not exist")
+            return self.spark.createDataFrame(
+                [(name, p["procedure"])],
+                "Procedure string, SQL string")
+        if re.match(r"(?is)^show\s+functions$", s):
+            # external UDF registry — always empty in the batch engine
+            # (no CREATE FUNCTION surface; reference lists loaded .so
+            # UDFs here)
+            return self.spark.createDataFrame(
+                [], "Name string, Return_type string, Arg_types string, "
+                    "Is_aggregate string, File string")
+        if re.match(r"(?is)^(show\s+(jobs?|job\s+\S+|components|"
+                    r"table\s+status).*|stop\s+job\b.*|delete\s+job\b.*)$",
+                    s):
+            raise DdlError(
+                "job-manager/online surface is not part of the batch "
+                "engine (SHOW JOBS / SHOW COMPONENTS / STOP JOB)")
+        m = re.match(r"(?is)^drop\s+function\s+(?:(if\s+exists)\s+)?"
+                     r"([`\w]+)$", s)
+        if m:
+            # no CREATE FUNCTION surface → no external UDF ever exists;
+            # IF EXISTS is the reference's silent no-op form
+            if m.group(1):
+                return None
+            raise DdlError(
+                f"function {m.group(2).strip(chr(96))!r} does not exist")
+        m = re.match(r"(?is)^(load\s+data\s+infile\s+.*?\binto\s+table\s+)"
+                     r"([`\w]+)\s*\.\s*([`\w]+)(.*)$", s, re.DOTALL)
+        if m:
+            # db-qualified LOAD target (cmd.yaml load_data_infile_2):
+            # resolve the database here, delegate the bare-name form
+            from openmldb_spark.sources.io import run_statement
+            db, name = m.group(2).strip("`"), m.group(3).strip("`")
+            return run_statement(
+                self.spark, m.group(1) + name + m.group(4),
+                self._dbs[self._db_of(db)], path_resolver=path_resolver,
+                params=params, catalog=self._catalogs[self._db_of(db)])
+
+        m = re.match(r"(?is)^desc(?:ribe)?\s+([`\w]+)\s*\.\s*([`\w]+)$", s)
+        if m:
+            # DESC db.t (cmd.yaml id 4-2): resolve the db prefix here,
+            # then reuse run_statement's plain DESC
+            from openmldb_spark.sources.io import run_statement
+            db, name = m.group(1).strip("`"), m.group(2).strip("`")
+            return run_statement(self.spark, f"DESC {name}",
+                                 self._dbs[self._db_of(db)])
+
+        m = re.match(r"(?is)^explain\s+(?:(logical|physical)\s+)?(.*)$",
+                     s, re.DOTALL)
+        if m:
+            # reference EXPLAIN [LOGICAL|PHYSICAL] (cases/plan/cmd.yaml
+            # ids 7/7-1) prints the engine's plan; ours is Catalyst's
+            # (documented divergence in rendering, same contract).
+            # LOGICAL maps to the extended mode (logical + physical).
             from openmldb_spark.sqlfe import run_sql
-            df = run_sql(self.spark, m.group(1), self._dotted(),
+            df = run_sql(self.spark, m.group(2), self._dotted(),
                          params=params, default_db=self.db)
+            mode = "extended" if (m.group(1) or "").lower() == "logical" \
+                else "formatted"
             plan = df._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution
-                .ExplainMode.fromString("formatted"))
+                .ExplainMode.fromString(mode))
             return self.spark.createDataFrame(
                 [(plan,)], "plan string")
 

@@ -116,3 +116,14 @@ def test_explain(sess):
     out = sess.execute("EXPLAIN select c1, sum(c2) as s from t1 "
                        "group by c1").collect()
     assert len(out) == 1 and "Physical Plan" in out[0].plan
+
+
+def test_load_data_db_qualified_target(sess, tmp_path):
+    sess.execute("create database db0")
+    sess._dbs["db0"]["t2"] = sess.spark.createDataFrame(
+        [], "col1 int, c1 string")
+    csv = tmp_path / "in.csv"
+    csv.write_text("col1,c1\n5,x\n7,y\n")
+    sess.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE db0.t2 "
+                 f"OPTIONS (header = true)")
+    assert sess._dbs["db0"]["t2"].count() == 2
