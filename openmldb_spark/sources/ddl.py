@@ -46,14 +46,23 @@ class DdlError(ValueError):
 
 
 _TYPES = {
-    "bool": T.BooleanType(),
-    "int16": T.ShortType(), "smallint": T.ShortType(),
-    "int": T.IntegerType(), "int32": T.IntegerType(),
-    "int64": T.LongType(), "bigint": T.LongType(),
-    "float": T.FloatType(), "double": T.DoubleType(),
+    # full alias set = hybridse's StringToDataType type_map
+    # (hybridse/src/node/sql_node.cc:40-45)
+    "bool": T.BooleanType(), "in1": T.BooleanType(),
+    "i16": T.ShortType(), "int16": T.ShortType(),
+    "smallint": T.ShortType(),
+    "i32": T.IntegerType(), "int": T.IntegerType(),
+    "int32": T.IntegerType(), "integer": T.IntegerType(),
+    "i64": T.LongType(), "int64": T.LongType(), "bigint": T.LongType(),
+    "float32": T.FloatType(), "float": T.FloatType(),
+    "double": T.DoubleType(), "float64": T.DoubleType(),
     "string": T.StringType(), "varchar": T.StringType(),
     "timestamp": T.TimestampType(), "date": T.DateType(),
 }
+
+# alias → the canonical spelling used by the _KEY_OK/_TS_OK domains
+_CANON = {"in1": "bool", "i16": "int16", "i32": "int32", "i64": "int64",
+          "integer": "int", "float32": "float", "float64": "double"}
 
 # Reserved words that cannot name a table/column (the reference's
 # zetasql-based parser: `order` and `use` are rejected, `table` is a
@@ -88,6 +97,19 @@ def _check_ident(name: str, what: str) -> str:
         raise DdlError(f"invalid {what} name {name!r}")
     if name.lower() in _RESERVED:
         raise DdlError(f"{what} name {name!r} is a reserved word")
+    return name
+
+
+def _check_table_name(name: str) -> str:
+    """Table names may be db-qualified: `db1.test` (plan/create.yaml
+    case 28, plan/insert.yaml case 10 — the reference keeps the dotted
+    path verbatim in the plan node). Each path segment must be a valid
+    identifier."""
+    parts = (name or "").split(".")
+    if len(parts) > 2:
+        raise DdlError(f"invalid table name {name!r}")
+    for p in parts:
+        _check_ident(p, "table")
     return name
 
 
@@ -276,6 +298,15 @@ def _check_options(body: str):
                 j = n
             opts[key] = body[i:j].strip()
             i = j
+    sm_opt = opts.get("storage_mode")
+    if sm_opt is not None:
+        # storage_mode ∈ {memory, ssd, hdd}, case-insensitive, quoted
+        # (hybridse NameToStorageMode, include/node/sql_node.h:403-413;
+        # plan/create.yaml case 30 storage_mode="HDD")
+        sv = sm_opt.strip().strip("'\"").lower()
+        if sv not in ("memory", "ssd", "hdd"):
+            raise DdlError(f"unknown storage_mode {sm_opt!r}")
+        opts["storage_mode"] = sv
     pn = opts.get("partitionnum")
     rn = opts.get("replicanum")
     if pn is not None and not (pn.isdigit() and int(pn) >= 1):
@@ -291,14 +322,17 @@ def _check_options(body: str):
         for em in re.finditer(r"\(([^()]*(?:\[[^\]]*\])?[^()]*)\)",
                               body[1:-1]):
             entry = em.group(1)
-            lm = re.match(r"^\s*'([^']*)'\s*,\s*\[([^\]]*)\]\s*$", entry)
+            # string literals take either quote style: the corpus uses
+            # both '...' and "..." (plan/create.yaml case 8)
+            lm = re.match(
+                r"""^\s*['"]([^'"]*)['"]\s*,\s*\[([^\]]*)\]\s*$""", entry)
             if not lm:
                 # each entry must be a (leader, [followers...]) tuple
                 # (test_options.yaml id 11: a bare ('endpoint') fails)
                 raise DdlError(f"distribution entry ({entry}) needs "
                                f"(leader, [followers])")
             leader = lm.group(1)
-            followers = re.findall(r"'([^']*)'", lm.group(2))
+            followers = re.findall(r"""['"]([^'"]*)['"]""", lm.group(2))
             eps = [leader, *followers]
             for e in eps:
                 if not _ENDPOINT.match(e):
@@ -325,12 +359,12 @@ def parse_create_table(stmt: str) -> dict:
     """CREATE TABLE name (col type [NOT NULL], ..., index(...)...)
     [OPTIONS (...)] → {"name", "schema": StructType, "indexes",
     "options"}. Raises DdlError on every reference-rejected shape."""
-    m = re.match(r"(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?"
-                 r"(?P<name>\S+?)\s*\(", stmt.strip())
+    m = re.match(r"(?is)^\s*create\s+table\s+(?P<ine>if\s+not\s+exists"
+                 r"\s+)?(?P<name>\S+?)\s*\(", stmt.strip())
     if not m:
         raise DdlError("not a CREATE TABLE statement")
     name = m.group("name")
-    _check_ident(name, "table")
+    _check_table_name(name)
     start = stmt.index("(", m.end() - 1)
     depth, j = 0, start
     while j < len(stmt):
@@ -366,7 +400,7 @@ def parse_create_table(stmt: str) -> dict:
             cur.append(ch)
     items.append("".join(cur))
 
-    fields, col_types, index_bodies = [], {}, []
+    fields, col_types, index_bodies, defaults = [], {}, [], {}
     for it in items:
         it = it.strip()
         if not it:
@@ -376,20 +410,28 @@ def parse_create_table(stmt: str) -> dict:
             index_bodies.append(im.group(1))
             continue
         cm = re.match(
-            r"(?is)^(?P<col>\S+)\s+(?P<typ>\w+)"
-            r"(?P<nn>\s+not\s+null)?\s*$", it)
+            r"(?is)^(?P<col>\S+)\s+(?P<typ>\w+(?:\s*\(\s*\d+\s*\))?)"
+            r"(?P<nn1>\s+not\s+null)?"
+            r"(?:\s+default\s+(?P<dflt>.+?))?"
+            r"(?P<nn2>\s+not\s+null)?\s*$", it)
         if not cm:
             raise DdlError(f"column definition {it!r}")
         col = cm.group("col")
         _check_ident(col, "column")
-        typ = cm.group("typ").lower()
+        # VARCHAR(64)-style length parameters are accepted and ignored
+        # (the reference maps every varchar to string, length unchecked)
+        typ = re.sub(r"\s*\(\s*\d+\s*\)$", "", cm.group("typ")).lower()
         if typ not in _TYPES:
             raise DdlError(f"unknown column type {typ!r}")
+        typ = _CANON.get(typ, typ)
         if col in col_types:
             raise DdlError(f"duplicate column {col!r}")
         col_types[col] = typ
-        fields.append(T.StructField(col, _TYPES[typ],
-                                    nullable=not cm.group("nn")))
+        nn = bool(cm.group("nn1") or cm.group("nn2"))
+        field = T.StructField(col, _TYPES[typ], nullable=not nn)
+        if cm.group("dflt") is not None:
+            defaults[col] = _parse_default(cm.group("dflt"), field)
+        fields.append(field)
     if not fields:
         raise DdlError("CREATE TABLE without columns")
     schema = T.StructType(fields)
@@ -397,8 +439,9 @@ def parse_create_table(stmt: str) -> dict:
                for b in index_bodies]
     if not indexes:
         indexes = [auto_index(schema)]
-    return {"name": name, "schema": schema,
-            "indexes": indexes, "options": options}
+    return {"name": name, "schema": schema, "indexes": indexes,
+            "options": options, "defaults": defaults,
+            "if_not_exists": bool(m.group("ine"))}
 
 
 def create_table(spark, stmt: str, tables: dict | None = None):
@@ -426,7 +469,7 @@ def validate_create_index(stmt: str, tables: dict,
     if not m:
         raise DdlError("not a CREATE INDEX statement")
     _check_ident(m.group("iname"), "index")
-    tname = m.group("t")
+    tname = _check_table_name(m.group("t"))
     if tname not in tables:
         raise DdlError(f"table {tname!r} does not exist")
     col_types = {f.name: f.dataType.simpleString()
@@ -514,6 +557,35 @@ def _coerce(value, kind, field: T.StructField):
     return value
 
 
+def _parse_default(text: str, field: T.StructField):
+    """A column DEFAULT clause: a literal, optionally wrapped in an
+    explicit CAST whose target must equal the column type
+    (plan/create.yaml cases 26-27: `int default 1`,
+    `string default CAST(1 as string)`). Returns the python value
+    coerced to the column type, used to fill columns omitted from an
+    INSERT column list."""
+    t = text.strip()
+    cm = re.fullmatch(r"(?is)cast\s*\(\s*(.+?)\s+as\s+(\w+)\s*\)", t)
+    if cm:
+        ctyp = cm.group(2).lower()
+        if ctyp not in _TYPES:
+            raise DdlError(f"unknown DEFAULT cast type {ctyp!r}")
+        if _TYPES[ctyp] != field.dataType:
+            raise DdlError(
+                f"DEFAULT cast to {ctyp} on "
+                f"{field.dataType.simpleString()} column {field.name!r}")
+        v, k = _parse_literal(cm.group(1).strip())
+        if ctyp in ("string", "varchar"):
+            if k == "null":
+                return None
+            if k == "bool":
+                return "true" if v else "false"
+            return str(v)
+        return _coerce(v, k, field)
+    v, k = _parse_literal(t)
+    return _coerce(v, k, field)
+
+
 def _split_values(vals: str) -> list[list[str]]:
     """Quote-aware scan of the VALUES tail: the comma-split raw tokens
     of each parenthesized row. String literals may contain commas and
@@ -572,24 +644,29 @@ def parse_insert(stmt: str):
     return m.group("t"), cols, rows
 
 
-def insert_into(spark, stmt: str, tables: dict, params=None):
+def insert_into(spark, stmt: str, tables: dict, params=None,
+                defaults: dict | None = None):
     """Execute INSERT INTO against `tables`, returning (table_name,
     appended DataFrame) for the caller to rebind. `params` binds ?
-    placeholders (prepared insert, one row per VALUES tuple)."""
+    placeholders (prepared insert, one row per VALUES tuple).
+    `defaults` (col → value, from the table's CREATE TABLE DEFAULT
+    clauses) fills columns omitted from the column list."""
     tname, cols, rows = parse_insert(stmt)
     if tname not in tables:
         raise DdlError(f"table {tname!r} does not exist")
     prior = tables[tname]
+    defaults = defaults or {}
     fields = {f.name: f for f in prior.schema.fields}
     if cols is None:
         cols = [f.name for f in prior.schema.fields]
     for c in cols:
         if c not in fields:
             raise DdlError(f"column {c!r} does not exist in {tname!r}")
-    # NOT NULL columns must be present in the column list
-    # (test_insert.yaml id 8)
+    # NOT NULL columns must be present in the column list — unless a
+    # DEFAULT covers them (test_insert.yaml id 8)
     missing_nn = [f.name for f in prior.schema.fields
-                  if not f.nullable and f.name not in cols]
+                  if not f.nullable and f.name not in cols
+                  and defaults.get(f.name) is None]
     if missing_nn:
         raise DdlError(f"NOT NULL column(s) {missing_nn} not inserted")
     out_rows = []
@@ -603,6 +680,9 @@ def insert_into(spark, stmt: str, tables: dict, params=None):
                  for v, k in r]
         vals = {c: _coerce(v, k, fields[c])
                 for c, (v, k) in zip(cols, r)}
+        for f in prior.schema.fields:
+            if f.name not in vals and f.name in defaults:
+                vals[f.name] = defaults[f.name]
         out_rows.append([vals.get(f.name) for f in prior.schema.fields])
     appended = spark.createDataFrame(out_rows, prior.schema)
     return tname, prior.unionByName(appended)

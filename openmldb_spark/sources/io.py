@@ -395,10 +395,19 @@ def run_statement(spark, stmt: str, tables: dict,
     if head.startswith("create table"):
         spec = _ddl.parse_create_table(stmt)
         if spec["name"] in tables:
+            # IF NOT EXISTS makes a name collision a no-op instead of
+            # an error (plan/create.yaml cases 13-14)
+            if spec["if_not_exists"]:
+                return None
             raise _ddl.DdlError(f"table {spec['name']!r} already exists")
         tables[spec["name"]] = spark.createDataFrame([], spec["schema"])
         if catalog is not None:
             catalog[spec["name"]] = list(spec["indexes"])
+            if spec["defaults"]:
+                # column DEFAULT values ride in the catalog under a
+                # reserved key (INSERT fill-in reads them back)
+                catalog.setdefault("__defaults__", {})[spec["name"]] = \
+                    spec["defaults"]
         return None
     if head.startswith("create index"):
         existing = []
@@ -425,8 +434,14 @@ def run_statement(spark, stmt: str, tables: dict,
         return spark.createDataFrame(
             rows, "name string, type string, nullable string")
     if head.startswith("insert "):
+        dflts = None
+        if catalog is not None:
+            tm = _re.match(r"(?is)^\s*insert\s+into\s+(\S+?)\s*[(\s]",
+                           stmt)
+            if tm:
+                dflts = catalog.get("__defaults__", {}).get(tm.group(1))
         tname, appended = _ddl.insert_into(spark, stmt, tables,
-                                           params=params)
+                                           params=params, defaults=dflts)
         tables[tname] = appended
         return None
     if _re.search(r"(?is)\binto\s+(?:outfile|table)\b", stmt):

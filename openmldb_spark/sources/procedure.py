@@ -36,13 +36,21 @@ class ProcedureError(Exception):
 
 
 _SPARK_TYPES = {
+    # full alias set = hybridse's StringToDataType type_map
+    # (hybridse/src/node/sql_node.cc:40-45; plan/create.yaml cases
+    # 19-20 declare procedure params as i16/i64)
     "smallint": T.ShortType(), "int16": T.ShortType(),
+    "i16": T.ShortType(),
     "int": T.IntegerType(), "int32": T.IntegerType(),
+    "i32": T.IntegerType(), "integer": T.IntegerType(),
     "bigint": T.LongType(), "int64": T.LongType(),
+    "i64": T.LongType(),
     "float": T.FloatType(), "double": T.DoubleType(),
+    "float32": T.FloatType(), "float64": T.DoubleType(),
     "string": T.StringType(), "varchar": T.StringType(),
     "timestamp": T.TimestampType(), "date": T.DateType(),
     "bool": T.BooleanType(), "boolean": T.BooleanType(),
+    "in1": T.BooleanType(),
 }
 
 # get/execute corpus schema spelling (int32/int64/... not int/bigint)
@@ -72,6 +80,10 @@ _PROC_RE = re.compile(
 
 def _parse_args(argtxt: str) -> list[tuple[str, str, bool]]:
     args = []
+    if not argtxt.strip():
+        # zero-parameter procedures are legal (plan/create.yaml id 18:
+        # `CREATE PROCEDURE procedure_name() BEGIN SELECT 1; END`)
+        return args
     for part in argtxt.split(","):
         toks = part.split()
         if not toks:
@@ -105,16 +117,21 @@ def create_procedure(spark, stmt: str, tables: dict,
     from openmldb_spark.sqlfe import run_sql
     main = _main_table(body, tables)
     if main is None:
-        raise ProcedureError("procedure body references no known table")
-    # the reference requires the argument list to mirror the main
-    # (request) table's schema exactly — names in order and types
-    main_fields = tables[main].schema.fields
-    if [a[0] for a in args] != [f.name for f in main_fields] or \
-            [_SPARK_TYPES[a[1]].simpleString() for a in args] != \
-            [f.dataType.simpleString() for f in main_fields]:
-        raise ProcedureError(
-            f"procedure args {[a[:2] for a in args]} do not match the "
-            f"main table {main!r} schema")
+        if args:
+            # args must mirror a request table; with none in the body
+            # a parameterized procedure can never bind
+            raise ProcedureError(
+                "procedure body references no known table")
+    else:
+        # the reference requires the argument list to mirror the main
+        # (request) table's schema exactly — names in order and types
+        main_fields = tables[main].schema.fields
+        if [a[0] for a in args] != [f.name for f in main_fields] or \
+                [_SPARK_TYPES[a[1]].simpleString() for a in args] != \
+                [f.dataType.simpleString() for f in main_fields]:
+            raise ProcedureError(
+                f"procedure args {[a[:2] for a in args]} do not match "
+                f"the main table {main!r} schema")
     out_df = run_sql(spark, body, tables)
 
     # referenced tables in body order of first appearance
@@ -124,8 +141,9 @@ def create_procedure(spark, stmt: str, tables: dict,
             refs.append(tok)
             seen.add(tok)
     consts = [a[0] for a in args if a[2]]
-    plain = re.fullmatch(rf"(?is)select\s+\*\s+from\s+{re.escape(main)}",
-                         body.strip()) is not None
+    plain = main is not None and re.fullmatch(
+        rf"(?is)select\s+\*\s+from\s+{re.escape(main)}",
+        body.strip()) is not None
     procedures[name] = {
         "name": name,
         "procedure": stmt if stmt.rstrip().endswith(";") else stmt + ";",

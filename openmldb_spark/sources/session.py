@@ -146,7 +146,9 @@ class Session:
                     return None
                 raise DdlError(f"table {name!r} does not exist")
             del tabs[name]
-            self._catalogs[self._db_of(db)].pop(name, None)
+            cat = self._catalogs[self._db_of(db)]
+            cat.pop(name, None)
+            cat.get("__defaults__", {}).pop(name, None)
             return None
         m = re.match(r"(?is)^drop\s+index\s+(?:([`\w]+)\s*\.\s*)?"
                      r"([`\w]+)\s*\.\s*([`\w]+)$", s)
@@ -289,7 +291,7 @@ class Session:
         is_stmt = head.startswith((
             "create", "insert", "desc", "deploy", "show", "drop",
             "load")) or re.match(r"(?is)^select\b.*\binto\s+outfile\b",
-                                 s) is not None
+                                 s, re.DOTALL) is not None
         if is_stmt:
             db = self._db_of(None)
             return run_statement(
