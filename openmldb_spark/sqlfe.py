@@ -333,6 +333,7 @@ _SQL_FN: dict = {
     "maximum": lambda a, b: f"greatest({a}, {b})",
     "inc": lambda a: f"(({a}) + 1)",
     "identity": lambda a: f"({a})",
+    "add": lambda a, b: f"(({a}) + ({b}))",
     "char": lambda a: f"chr({a})",
     "strcmp": lambda a, b: (
         f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
