@@ -202,6 +202,60 @@ def _norm_index(opts: dict) -> dict:
             "ttl": norm_ttl, "ttlType": _TTL_TYPE_NAME[tt]}
 
 
+def _ttl_json(entry: dict) -> dict:
+    """Normalized index entry → the nameserver's restful ttl dict
+    (cases/restful/v230/test_desc.yaml: ``(10h,10):absandlat`` →
+    ``{"ttl_type":"absandlat","abs_ttl":600,"lat_ttl":10}``; absolute
+    shows only abs_ttl, latest only lat_ttl — minutes in both)."""
+    tt = entry["ttlType"]
+    ttl = entry["ttl"]
+    if tt == "kLatestTime":
+        return {"ttl_type": "latest", "lat_ttl": int(ttl)}
+    if tt in ("kAbsAndLat", "kAbsOrLat"):
+        m = re.fullmatch(r"(\d+)min(?:&&|\|\|)(\d+)", str(ttl))
+        return {"ttl_type": "absandlat" if tt == "kAbsAndLat"
+                else "absorlat",
+                "abs_ttl": int(m.group(1)), "lat_ttl": int(m.group(2))}
+    m = re.fullmatch(r"(\d+)min", str(ttl))
+    return {"ttl_type": "absolute", "abs_ttl": int(m.group(1))}
+
+
+# Spark simpleString → the restful column_desc type spelling
+_RESTFUL_TYPE = {"string": "varchar", "boolean": "bool",
+                 "smallint": "smallint", "int": "int",
+                 "bigint": "bigint", "float": "float",
+                 "double": "double", "timestamp": "timestamp",
+                 "date": "date"}
+
+
+def render_table_meta(name: str, schema: T.StructType,
+                      indexes: list) -> dict:
+    """The nameserver's table-info JSON exactly as the restful API
+    renders it (GET /dbs/{db}/tables[/{t}] — replayed from
+    cases/restful/v230/test_desc.yaml + test_show_tables.yaml;
+    name_server_impl.cc ShowTable). Partition/replica counts are the
+    single-node defaults the corpus pins."""
+    return {
+        "name": name,
+        "table_partition_size": 1,
+        "partition_num": 1,
+        "replica_num": 1,
+        "column_desc": [
+            {"name": f.name,
+             "type": _RESTFUL_TYPE[f.dataType.simpleString()],
+             "not_null": not f.nullable}
+            for f in schema.fields],
+        "added_column_desc": [],
+        "column_key": [
+            {"col_name": list(e["keys"]), "ts_name": e["ts"],
+             "ttl": _ttl_json(e)}
+            for e in indexes],
+        "format_version": 1,
+        "partition_key": [],
+        "schema_versions": [],
+    }
+
+
 def auto_index(schema: T.StructType) -> dict:
     """The index the reference auto-creates for a CREATE TABLE without
     one: key = FIRST column of an index-eligible type (float/double

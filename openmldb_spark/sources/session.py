@@ -93,6 +93,32 @@ class Session:
             raise DdlError(f"table {name!r} does not exist")
         return tabs[name]
 
+    def table_meta(self, name: str, db: str | None = None) -> dict:
+        """The nameserver's table-info JSON for one table — the
+        restful GET /dbs/{db}/tables/{t} payload
+        (cases/restful/v230/test_desc.yaml; 'DB not found' /
+        'Table not found' are its exact refusal spellings)."""
+        from openmldb_spark.sources.ddl import (auto_index,
+                                                render_table_meta)
+        dbn = db or self.db
+        if dbn is None or dbn not in self._dbs:
+            raise DdlError("DB not found")
+        tabs = self._dbs[dbn]
+        if name not in tabs:
+            raise DdlError("Table not found")
+        idx = self._catalogs[dbn].get(name) or [
+            auto_index(tabs[name].schema)]
+        return render_table_meta(name, tabs[name].schema, idx)
+
+    def list_table_metas(self, db: str | None = None) -> list[dict]:
+        """restful GET /dbs/{db}/tables — every table's metadata in
+        name order (cases/restful/v230/test_show_tables.yaml)."""
+        dbn = db or self.db
+        if dbn is None or dbn not in self._dbs:
+            raise DdlError("DB not found")
+        return [self.table_meta(n, db=dbn)
+                for n in sorted(self._dbs[dbn])]
+
     def _db_of(self, db: str | None) -> str:
         db = db or self.db
         if db is None:
