@@ -541,8 +541,11 @@ def validate_create_index(stmt: str, tables: dict,
 
 
 _INSERT_RE = re.compile(
+    # VALUE (singular) is accepted too — v040/test_execute_mode.yaml
+    # id 4 (`insert into {0} value ("aa",1,2,...)`) runs green in the
+    # reference harness
     r"(?is)^\s*insert\s+into\s+(?P<t>\S+?)\s*"
-    r"(?:\((?P<cols>[^)]*)\)\s*)?values\s*(?P<vals>\(.*\))\s*;?\s*$")
+    r"(?:\((?P<cols>[^)]*)\)\s*)?values?\s*(?P<vals>\(.*\))\s*;?\s*$")
 
 
 def _parse_literal(tok: str):

@@ -221,8 +221,18 @@ class Session:
                 raise DdlError("Fail to parse value, can't set the "
                                "request timeout")
             if scope == "global":
+                # unknown keys DO land in GLOBAL_VARIABLES (the insert
+                # precedes validation, sql_cluster_router.cc:2559-2570)
                 self.global_variables[key] = val
-            self.variables[key] = val
+                self.variables[key] = val
+            elif key in ("execute_mode", "enable_trace", "sync_job",
+                         "job_timeout"):
+                self.variables[key] = val
+            # else: an unknown SESSION key is accepted but silently NOT
+            # stored (sql_cluster_router.cc:2595-2599 returns OK before
+            # session_variables_[key] is written) — pinned by
+            # v040/test_execute_mode.yaml id 2 (execute_olol never
+            # appears in SHOW VARIABLES)
             return None
         m = re.match(r"(?is)^show\s+(global\s+|session\s+)?variables$", s)
         if m:
