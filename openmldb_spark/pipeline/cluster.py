@@ -88,6 +88,7 @@ def connected_components(
     # form, which round 2 detects at the same total round count — so
     # the pre-loop aggregate job is pure overhead.
     prev = None
+    converged = False
     for _ in range(max_iter):
         # non-eager checkpoint: the _sig action below materializes it,
         # one pass instead of eager-checkpoint + count
@@ -96,8 +97,16 @@ def connected_components(
         cur = _sig(edges_new)
         edges = edges_new
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # labels derived from a non-star edge set are silently WRONG
+        # (min over a non-root neighbor set) — never return them
+        raise RuntimeError(
+            f"connected_components did not reach a fixed point in "
+            f"{max_iter} iterations; raise max_iter (alternation "
+            f"converges in O(log^2 n) rounds)")
     # star form: every non-root points at its component root
     labels = edges.groupBy("src").agg(F.min("dst").alias("component")) \
         .select(F.col("src").alias("id"), "component")

@@ -241,8 +241,13 @@ def render_table_meta(name: str, schema: T.StructType,
         "partition_num": 1,
         "replica_num": 1,
         "column_desc": [
+            # types outside the reference's 9 scalars (arrays from
+            # registered parquet tables, etc.) render as their Spark
+            # simpleString — the meta surface must never crash a whole
+            # SHOW TABLES listing over one exotic column
             {"name": f.name,
-             "type": _RESTFUL_TYPE[f.dataType.simpleString()],
+             "type": _RESTFUL_TYPE.get(f.dataType.simpleString(),
+                                       f.dataType.simpleString()),
              "not_null": not f.nullable}
             for f in schema.fields],
         "added_column_desc": [],

@@ -248,6 +248,47 @@ _KNOWN_OPTS = {"format", "delimiter", "header", "null_value", "quote",
                "mode", "deep_copy"}
 
 
+def _strip_config_clauses(stmt: str) -> str:
+    """Remove every CONFIG(...) clause outside string literals, with a
+    quote-aware scan for the closing paren (a ')' inside a quoted
+    option value like CONFIG(spark="a)b") must not end the clause, and
+    'config(' inside a quoted OUTFILE path must not start one)."""
+    out, i, n = [], 0, len(stmt)
+    kw = _re.compile(r"(?is)\s*\bconfig\s*\(")
+    while i < n:
+        ch = stmt[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and stmt[j] != ch:
+                j += 1
+            out.append(stmt[i:j + 1])
+            i = j + 1
+            continue
+        m = kw.match(stmt, i)
+        if m:
+            depth, j, quote = 0, m.end() - 1, None
+            while j < n:
+                c = stmt[j]
+                if quote:
+                    if c == quote:
+                        quote = None
+                elif c in "'\"":
+                    quote = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth == 0:
+                i = j + 1          # drop the whole clause
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _parse_stmt_options(text: str | None) -> dict:
     """-> {key: (value, was_quoted)}. Boolean-typed options (header,
     deep_copy) must be BARE true/false literals — a quoted 'true' is a
@@ -388,7 +429,8 @@ def run_statement(spark, stmt: str, tables: dict,
         if procedures is None:
             procedures = {}
         if head.startswith("create procedure"):
-            _proc.create_procedure(spark, stmt, tables, procedures)
+            _proc.create_procedure(spark, stmt, tables, procedures,
+                                   db=db)
         else:
             _proc.drop_procedure(stmt, procedures)
         return None
@@ -402,7 +444,13 @@ def run_statement(spark, stmt: str, tables: dict,
             raise _ddl.DdlError(f"table {spec['name']!r} already exists")
         tables[spec["name"]] = spark.createDataFrame([], spec["schema"])
         if catalog is not None:
-            catalog[spec["name"]] = list(spec["indexes"])
+            # inline indexes get generated names so DROP INDEX can
+            # address them (node_adapter.cc:178-182 names them
+            # INDEX_<pos>_<unixtime>; we drop the time suffix for
+            # determinism — position is unique within a table)
+            catalog[spec["name"]] = [
+                dict(e, name=e.get("name") or f"INDEX_{i}")
+                for i, e in enumerate(spec["indexes"])]
             if spec["defaults"]:
                 # column DEFAULT values ride in the catalog under a
                 # reserved key (INSERT fill-in reads them back)
@@ -447,9 +495,11 @@ def run_statement(spark, stmt: str, tables: dict,
     if _re.search(r"(?is)\binto\s+(?:outfile|table)\b", stmt):
         # trailing CONFIG(...) on LOAD / INTO OUTFILE statements holds
         # cluster-job hints (job='online', spark=...) — not data
-        # semantics; the reference forwards them to the task manager
-        stmt = _re.sub(r"(?is)\s*\bconfig\s*\((?:[^()']|'[^']*')*\)", "",
-                       stmt)
+        # semantics; the reference forwards them to the task manager.
+        # The keyword match is string-masked ('config(' inside a quoted
+        # path survives) and the body scan is quote-aware (')' inside a
+        # quoted option value doesn't end it)
+        stmt = _strip_config_clauses(stmt)
     m = _OUTFILE_RE.match(stmt)
     if m:
         fmt, opts, mode, _ = _map_rw_options(

@@ -102,7 +102,7 @@ def _parse_args(argtxt: str) -> list[tuple[str, str, bool]]:
 
 
 def create_procedure(spark, stmt: str, tables: dict,
-                     procedures: dict) -> None:
+                     procedures: dict, db: str | None = None) -> None:
     m = _PROC_RE.match(stmt)
     if not m:
         raise ProcedureError(f"create procedure: cannot parse {stmt!r}")
@@ -146,6 +146,7 @@ def create_procedure(spark, stmt: str, tables: dict,
         body.strip()) is not None
     procedures[name] = {
         "name": name,
+        "db": db or "",
         "procedure": stmt if stmt.rstrip().endswith(";") else stmt + ";",
         "args": args,
         "body": body,

@@ -211,6 +211,12 @@ class Session:
                 raise DdlError(f"unsupport syntax: SET value {val!r} "
                                f"must be a literal")
             val = val.lower()
+            if scope == "global":
+                # the GLOBAL_VARIABLES insert PRECEDES validation
+                # (sql_cluster_router.cc:2559-2570), so even a value
+                # that fails the typed check below lands in the global
+                # store — matched exactly
+                self.global_variables[key] = val
             if key == "execute_mode" and val not in ("online", "offline"):
                 raise DdlError(
                     "the value of execute_mode must be online|offline")
@@ -220,16 +226,12 @@ class Session:
             if key == "job_timeout" and not re.fullmatch(r"-?\d+", val):
                 raise DdlError("Fail to parse value, can't set the "
                                "request timeout")
-            if scope == "global":
-                # unknown keys DO land in GLOBAL_VARIABLES (the insert
-                # precedes validation, sql_cluster_router.cc:2559-2570)
-                self.global_variables[key] = val
+            if key in ("execute_mode", "enable_trace", "sync_job",
+                       "job_timeout"):
                 self.variables[key] = val
-            elif key in ("execute_mode", "enable_trace", "sync_job",
-                         "job_timeout"):
-                self.variables[key] = val
-            # else: an unknown SESSION key is accepted but silently NOT
-            # stored (sql_cluster_router.cc:2595-2599 returns OK before
+            # else: an unknown key is accepted but NOT written to the
+            # session store, whatever the scope
+            # (sql_cluster_router.cc:2595-2599 returns OK before
             # session_variables_[key] is written) — pinned by
             # v040/test_execute_mode.yaml id 2 (execute_olol never
             # appears in SHOW VARIABLES)
@@ -255,6 +257,12 @@ class Session:
             p = self.procedures.get(name)
             if p is None:
                 raise DdlError(f"procedure {name!r} does not exist")
+            # a db qualifier must name the procedure's OWN database
+            # (procedures are per-db in the reference nameserver)
+            want_db = (m.group(1) or "").strip("`")
+            if want_db and p.get("db") and want_db != p["db"]:
+                raise DdlError(f"procedure {name!r} does not exist "
+                               f"in database {want_db!r}")
             return self.spark.createDataFrame(
                 [(name, p["procedure"])],
                 "Procedure string, SQL string")
@@ -330,6 +338,22 @@ class Session:
                                  s, re.DOTALL) is not None
         if is_stmt:
             db = self._db_of(None)
+            # a db-qualified CREATE TABLE / INSERT / CREATE INDEX
+            # target routes to THAT database with the prefix stripped
+            # (plan/create.yaml cases 28-29, insert.yaml case 10) —
+            # without this the dotted name would be stored verbatim
+            # inside the CURRENT db's table dict
+            qm = re.match(
+                r"(?is)^\s*(?:create\s+table\s+"
+                r"(?:if\s+not\s+exists\s+)?|insert\s+into\s+|"
+                r"create\s+index\s+[`\w]+\s+on\s+)"
+                r"([`\w]+)\s*\.\s*[`\w]+", s)
+            if qm:
+                tdb = qm.group(1).strip("`")
+                if tdb not in self._dbs:
+                    raise DdlError("database not found")
+                db = tdb
+                stmt = s[:qm.start(1)] + s[qm.end(1):].lstrip(". \t")
             return run_statement(
                 self.spark, stmt, self._dbs[db],
                 path_resolver=path_resolver, params=params,

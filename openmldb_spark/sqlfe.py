@@ -2419,16 +2419,16 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
                     "DATATYPE_MISMATCH" not in str(e):
                 raise
             attempts = []
+            mst = _ms_tables(tables)     # built once, reused per attempt
             if "BOOLEAN" in str(e) or "(NOT" in str(e):
                 bsql = _boolify_sql(sql)
-                attempts += [(bsql, tables, False),
-                             (bsql, _ms_tables(tables), False)]
-            attempts.append((sql, _ms_tables(tables), False))
+                attempts += [(bsql, tables, False), (bsql, mst, False)]
+            attempts.append((sql, mst, False))
             # ms-mode last: timestamp()/cast-as-timestamp templates render
             # as int64 epoch-ms so they typecheck against the ms views
             # (tried only after the plain ms view fails — keeps every
             # previously-green case on its original plan)
-            attempts.append((sql, _ms_tables(tables), True))
+            attempts.append((sql, mst, True))
             for asql, atables, ams in attempts[:-1]:
                 # re-publish the type environment per attempt: _ms_tables
                 # swaps timestamp/bool columns for int views, and the

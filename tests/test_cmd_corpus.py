@@ -74,6 +74,12 @@ def _prep(spark, cid: str) -> Session:
         s.execute("create database db0")
         s._dbs["db0"]["t1"] = s._dbs["main"]["t1"]
     if cid in _NEEDS_PROCS:
+        if cid == "12":
+            # SHOW CREATE PROCEDURE db.sp_name — the qualifier must
+            # name the procedure's OWN database, so create it there
+            s.execute("create database db")
+            s.execute("use db")
+            s.execute(_T1)
         for name in ("sp1", "sp_name"):
             s.execute(f"create procedure {name} (col1 int, c1 string, "
                       f"c7 timestamp) begin select * from t1; end")
@@ -136,8 +142,19 @@ def test_set_show_variables_semantics(spark):
         s.execute("SET @@job_timeout = 'abc'")
     s.execute("SET GLOBAL var1 = 100")
     assert s.global_variables["var1"] == "100"
-    assert s.variables["var1"] == "100"   # global set updates session
+    # an unknown key never reaches the SESSION store, whatever the
+    # scope (sql_cluster_router.cc:2595-2599 returns before
+    # session_variables_[key] is written)
+    assert "var1" not in s.variables
     rows = {r.Variable_name: r.Value
             for r in s.execute("SHOW VARIABLES").collect()}
     assert rows["execute_mode"] == "offline"   # the reference default
-    assert rows["var1"] == "100"
+    assert "var1" not in rows
+    grows = {r.Variable_name: r.Value
+             for r in s.execute("SHOW GLOBAL VARIABLES").collect()}
+    assert grows["var1"] == "100"
+    # a failed typed SET still lands in the global store first (the
+    # reference's GLOBAL_VARIABLES insert precedes validation)
+    with pytest.raises(DdlError):
+        s.execute("SET GLOBAL execute_mode = 'bogus'")
+    assert s.global_variables["execute_mode"] == "bogus"
