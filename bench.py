@@ -90,6 +90,38 @@ def plan_stats(df) -> dict:
     exchange without eyeballing explain output."""
     import re
     s = df._jdf.queryExecution().executedPlan().toString()
+    # the plan string nests the CACHED transcript-synthesis build plan
+    # under every InMemoryRelation node; those exchanges run once at
+    # warm-up, not per query — counting them would report a 5-exchange
+    # "shape" for a one-exchange kernel. Keep only nodes outside the
+    # cached subtree (deeper-indented lines after an InMemoryRelation).
+    def _depth(ln):
+        # tree depth = column where the node text starts (first char
+        # that isn't tree drawing). Plain leading-space indentation is
+        # unusable (branch ':' columns equalize it), and node markers
+        # alone miss marker-less lines (ResultQueryStage, == Final
+        # Plan ==) that AQE prints inside an executed cached subtree.
+        stripped = ln.lstrip(" :+|-")
+        return len(ln) - len(stripped)
+
+    # Also dropped: an executed AdaptiveSparkPlan prints "== Final
+    # Plan ==" AND "== Initial Plan ==" — counting both doubles every
+    # node, so the Initial section (same depth as its children) is cut.
+    kept, skip = [], None
+    for ln in s.splitlines():
+        d = _depth(ln)
+        if skip is not None:
+            sd, include_equal = skip
+            if d > sd or (include_equal and d >= sd):
+                continue
+            skip = None
+        if "== Initial Plan ==" in ln:
+            skip = (d, True)
+            continue
+        if "InMemoryRelation" in ln:
+            skip = (d, False)
+        kept.append(ln)
+    s = "\n".join(kept)
     return {
         "exchanges": len(re.findall(
             r"Exchange (?:hashpartitioning|rangepartitioning|"

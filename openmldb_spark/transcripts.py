@@ -202,6 +202,17 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def updates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    with_testdata_views(spark, sf_dir, ["events"])
-    df = spark.sql(transcripts_updates_sql("SELECT * FROM updates"))
-    return df.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    """UPDATES_CTE applied to the memoized transcripts DataFrame — a
+    plain filter+projection over the persisted table, so the two-window
+    synthesis is not re-run per query (the oracle side still derives it
+    via transcripts_updates_sql; the results are identical by
+    construction)."""
+    t = transcripts_df(spark, sf_dir)
+    return (t.where(F.col("turn_idx") % 7 == 3)
+             .select(
+                 "conv_id",
+                 (F.col("ts_ms") - 1500).alias("ts_ms"),
+                 F.concat(F.lit("cfg_"),
+                          F.col("turn_idx").cast("string")).alias("cfg"),
+                 (F.col("value") * 10.0).alias("weight"))
+             .withColumn("ts", F.timestamp_millis(F.col("ts_ms"))))
