@@ -93,13 +93,17 @@ def test_drop_index(sess):
     sess.execute("create index index1 on t1 (c1) "
                  "options (ts=c7, ttl=100m, ttl_type=absolute)")
     cat = sess._catalogs["test_zw"]["t1"]
-    # entry 0 = the CREATE TABLE default first-column index
-    assert [e.get("name") for e in cat] == [None, "index1"]
+    # entry 0 = the CREATE TABLE default first-column index; inline /
+    # default indexes get generated INDEX_<pos> names so DROP INDEX can
+    # address them (node_adapter.cc:178-182 names them
+    # INDEX_<pos>_<unixtime>; the time suffix is dropped for
+    # determinism)
+    assert [e.get("name") for e in cat] == ["INDEX_0", "index1"]
     with pytest.raises(DdlError, match="does not exist"):
         sess.execute("drop index t1.nope")
     sess.execute("drop index t1.index1")
     assert [e.get("name") for e in sess._catalogs["test_zw"]["t1"]] == \
-        [None]
+        ["INDEX_0"]
 
 
 def test_register_and_query_parquet_table(spark):
