@@ -561,8 +561,17 @@ def _parse_literal(tok: str):
         return None, "param"
     if t.upper() == "NULL":
         return None, "null"
-    if re.fullmatch(r"'[^']*'", t) or re.fullmatch(r'"[^"]*"', t):
-        return t[1:-1], "string"
+    m2 = (re.fullmatch(r"'((?:[^'\\]|\\.)*)'", t, re.S)
+          or re.fullmatch(r'"((?:[^"\\]|\\.)*)"', t, re.S))
+    if m2:
+        # ZetaSQL string literals escape with backslash ('it\'s');
+        # unescape the common sequences, pass others through verbatim
+        body = re.sub(
+            r"\\(.)",
+            lambda mm: {"n": "\n", "t": "\t", "r": "\r"}.get(
+                mm.group(1), mm.group(1)),
+            m2.group(1), flags=re.S)
+        return body, "string"
     if re.fullmatch(r"[-+]?\d+[lL]?", t):
         return int(t.rstrip("lL")), "int"
     if re.fullmatch(r"[-+]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?[fF]?",
@@ -656,11 +665,15 @@ def _split_values(vals: str) -> list[list[str]]:
     rows: list[list[str]] = []
     cur_row: list[str] = []
     cur_tok: list[str] = []
-    depth, quote = 0, None
+    depth, quote, esc = 0, None, False
     for ch in vals:
         if quote:
             cur_tok.append(ch)
-            if ch == quote:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
             continue
         if ch == "(":
