@@ -1,0 +1,77 @@
+"""IPython ``%sql`` / ``%%sql`` magic over the DBAPI driver — the twin
+of the reference SDK's notebook surface
+(python/openmldb/sql_magic/sql_magic.py):
+
+- a cell body has newlines flattened to spaces before execution (:32)
+- SELECT statements fetch all rows and print an ASCII table of the
+  result-set schema names + rows (:35-39; the reference renders via
+  PrettyTable — not in this environment, so ``print_table`` emits the
+  same +---+ box format directly)
+- every other statement executes and prints "Success to execute sql"
+  (:41-42)
+- ``register(db, test=True)`` uses IPython's testing shell
+  (globalipapp), exactly like the reference's own sql_magic_test.py
+"""
+
+from __future__ import annotations
+
+try:
+    from IPython.core.magic import (Magics, line_cell_magic,
+                                    magics_class)
+except ImportError:  # pragma: no cover - IPython is present in CI
+    raise
+
+
+def print_table(schema, rows) -> None:
+    """PrettyTable-style default box rendering (sdk.py:494-498):
+    +----+----+ borders, centered headers, left-padded cells."""
+    schema = list(schema)
+    cells = [["" if v is None else str(v) for v in row] for row in rows]
+    widths = [max([len(str(h))] + [len(r[i]) for r in cells])
+              for i, h in enumerate(schema)]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    head = "|" + "|".join(f" {str(h).center(w)} "
+                          for h, w in zip(schema, widths)) + "|"
+    print(sep)
+    print(head)
+    print(sep)
+    for r in cells:
+        print("|" + "|".join(f" {c.ljust(w)} "
+                             for c, w in zip(r, widths)) + "|")
+    print(sep)
+
+
+@magics_class
+class SqlMagic(Magics):
+
+    def __init__(self, shell, db):
+        super().__init__(shell)
+        self.db = db
+        self.cursor = db.cursor()
+
+    @line_cell_magic
+    def sql(self, line, cell=None):
+        if cell is None:
+            sqlText = line
+        else:
+            sqlText = cell.replace("\n", " ")
+        is_query = sqlText.strip().lower().startswith("select")
+        if is_query:
+            rows = self.cursor.execute(sqlText).fetchall()
+            schema_map = self.cursor.get_resultset_schema()
+            schema_list = map(lambda m: m["name"], schema_map)
+            print_table(schema_list, rows)
+        else:
+            self.cursor.execute(sqlText)
+            print("Success to execute sql")
+
+
+def register(db, test=False):
+    if test:
+        from IPython.testing.globalipapp import get_ipython
+    else:  # pragma: no cover - interactive path
+        from IPython import get_ipython
+    ip = get_ipython()
+    magics = SqlMagic(ip, db)
+    ip.register_magics(magics)
+    return ip
