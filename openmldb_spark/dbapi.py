@@ -134,9 +134,25 @@ def _lit(v) -> str:
         return f"'{v.isoformat()}'"
     if isinstance(v, (int, float)):
         return repr(v)
-    # ZetaSQL escapes with backslash, not quote doubling
-    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
-    return f"'{s}'"
+    # ZetaSQL escapes with backslash, not quote doubling (the shared
+    # literal emitter lives in sqlfe)
+    from openmldb_spark.sqlfe import _sql_str_lit
+    return _sql_str_lit(str(v))
+
+
+def _skip_str(sql: str, i: int) -> int:
+    """-> index just past the string literal opening at sql[i],
+    honoring backslash escapes (ZetaSQL semantics — an escaped quote
+    does not terminate the literal)."""
+    quote, j, n = sql[i], i + 1, len(sql)
+    while j < n:
+        if sql[j] == "\\":
+            j += 2
+            continue
+        if sql[j] == quote:
+            return j + 1
+        j += 1
+    return n
 
 
 def _fill_holes(sql: str, literals: list[str]) -> str:
@@ -145,11 +161,9 @@ def _fill_holes(sql: str, literals: list[str]) -> str:
     while i < n:
         ch = sql[i]
         if ch in "'\"":
-            j = i + 1
-            while j < n and sql[j] != ch:
-                j += 1
-            out.append(sql[i:j + 1])
-            i = j + 1
+            j = _skip_str(sql, i)
+            out.append(sql[i:j])
+            i = j
             continue
         if ch == "?":
             out.append(literals[k])
@@ -184,11 +198,9 @@ def _insert_hole_columns(command: str, schema) -> list:
     while i < n:
         ch = vals[i]
         if ch in "'\"":
-            j = i + 1
-            while j < n and vals[j] != ch:
-                j += 1
-            cur.append(vals[i:j + 1])
-            i = j + 1
+            j = _skip_str(vals, i)
+            cur.append(vals[i:j])
+            i = j
             continue
         if ch == "(":
             depth += 1
@@ -277,11 +289,13 @@ class Cursor:
             # arity check against the RAW '?' count, like the reference
             question_marks = command.count("?")
             if question_marks > 0:
+                # the reference applies the arity check to tuples AND
+                # dicts before any per-column dispatch (dbapi.py:247-249)
+                if len(parameters) != question_marks:
+                    raise DatabaseError("parameters is not enough")
                 if isinstance(parameters, dict):
                     lits = self._dict_insert_literals(command, parameters)
                 elif isinstance(parameters, tuple):
-                    if len(parameters) != question_marks:
-                        raise DatabaseError("parameters is not enough")
                     lits = [_lit(v) for v in parameters]
                 else:
                     raise DatabaseError(
@@ -302,12 +316,24 @@ class Cursor:
         self._pre_process_result(df)
         return self
 
-    def _dict_insert_literals(self, command, row: dict) -> list[str]:
+    def _resolve_table(self, raw: str):
+        """-> (DataFrame, name-as-run_sql-sees-it). A db-qualified
+        name resolves in THAT db and keeps its dotted spelling (the
+        session's table dicts expose cross-db tables under 'db.t')."""
         sess = self._session()
+        name = raw.strip("`")
+        if "." in name:
+            dbn, t = (p.strip("`") for p in name.split(".", 1))
+            return sess.table(t, db=dbn), f"{dbn}.{t}"
+        return sess.table(name), name
+
+    def _dict_insert_literals(self, command, row: dict) -> list[str]:
         m = re.search(r"(?is)^insert\s+into\s+([`\w.]+)", command)
-        tname = m.group(1).strip("`").split(".")[-1] if m else ""
         try:
-            schema = sess.table(tname).schema
+            t, _ = self._resolve_table(m.group(1) if m else "")
+            schema = t.schema
+        except DatabaseError:
+            raise
         except Exception as e:
             raise DatabaseError(str(e)) from e
         holes = _insert_hole_columns(command, schema)
@@ -337,9 +363,8 @@ class Cursor:
         m = re.search(r"(?is)\bfrom\s+([`\w.]+)", command)
         if not m:
             raise DatabaseError("cannot find request table")
-        main = m.group(1).strip("`").split(".")[-1]
         try:
-            t = sess.table(main)
+            t, main = self._resolve_table(m.group(1))
             req = sess.spark.createDataFrame(
                 [tuple(parameters.get(f.name) for f in t.schema.fields)],
                 t.schema)
@@ -353,6 +378,11 @@ class Cursor:
             raise DatabaseError(str(e)) from e
 
     def executeRequest(self, sql, parameter):
+        # deliberate divergence: the reference's guard
+        # (`selectRE.match(command) == False`, dbapi.py:493) is dead
+        # code — a Match/None never == False — so it forwards ANY
+        # statement; we implement the evidently intended check and
+        # keep its message (typo included)
         command = sql.strip(" \t\n\r")
         if not _SELECT_RE.match(command):
             raise Exception("Invalid opertion for request")
@@ -369,9 +399,8 @@ class Cursor:
         m = re.search(r"(?is)\bfrom\s+([`\w.]+)", sql)
         if not m:
             raise DatabaseError("cannot find request table")
-        main = m.group(1).strip("`").split(".")[-1]
         try:
-            t = sess.table(main)
+            t, main = self._resolve_table(m.group(1))
             rows = []
             for row in parameters:
                 if isinstance(row, dict):

@@ -565,13 +565,15 @@ def _parse_literal(tok: str):
           or re.fullmatch(r'"((?:[^"\\]|\\.)*)"', t, re.S))
     if m2:
         # ZetaSQL string literals escape with backslash ('it\'s');
-        # unescape the common sequences, pass others through verbatim
-        body = re.sub(
-            r"\\(.)",
-            lambda mm: {"n": "\n", "t": "\t", "r": "\r"}.get(
-                mm.group(1), mm.group(1)),
-            m2.group(1), flags=re.S)
-        return body, "string"
+        # unescape the recognized sequences (\' \" \\ \n \t \r) and
+        # keep any OTHER backslash pair verbatim — 'C:\data' must stay
+        # 'C:\data', not silently lose its backslash
+        def _unesc(mm):
+            c = mm.group(1)
+            if c in "'\"\\":
+                return c
+            return {"n": "\n", "t": "\t", "r": "\r"}.get(c, "\\" + c)
+        return re.sub(r"\\(.)", _unesc, m2.group(1), flags=re.S), "string"
     if re.fullmatch(r"[-+]?\d+[lL]?", t):
         return int(t.rstrip("lL")), "int"
     if re.fullmatch(r"[-+]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?[fF]?",

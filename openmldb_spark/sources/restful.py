@@ -40,17 +40,42 @@ _SQL_RESERVED = {"null", "true", "false", "select", "insert", "table",
                  "values", "where", "from", "join", "window", "order"}
 
 
+def _rapidjson_code(body: str, e: json.JSONDecodeError) -> int:
+    """Map a Python JSONDecodeError onto the rapidjson ParseErrorCode
+    the reference's message carries (error.h enum): 1 = DocumentEmpty
+    (corpus case 16, empty body), 7 = ArrayMissCommaOrSquareBracket /
+    6 = ObjectMissCommaOrCurlyBracket (case 20, a fullwidth comma
+    between array elements), 3 = ValueInvalid otherwise."""
+    if not body.strip():
+        return 1
+    if "delimiter" in e.msg or "Expecting value" in e.msg:
+        # container context = the nearest unclosed bracket before pos
+        depth_sq = depth_cu = 0
+        for ch in body[:e.pos]:
+            if ch == "[":
+                depth_sq += 1
+            elif ch == "]":
+                depth_sq -= 1
+            elif ch == "{":
+                depth_cu += 1
+            elif ch == "}":
+                depth_cu -= 1
+        if "delimiter" in e.msg:
+            return 7 if depth_sq > 0 else 6
+    return 3
+
+
 def _match_put_route(method: str, uri: str) -> tuple[str, str]:
     """-> (db, table) or raise 'no match method' (interface_provider
     parity: PUT /dbs/:db_name/tables/:table_name, segment-exact)."""
     path = uri.split("#", 1)[0].split("?", 1)[0]
     segs = [s for s in path.split("/")]
     # drop the leading empty segment of an absolute path only; interior
-    # empty segments (``/dbs//tables/t``) kill the match
+    # AND trailing empty segments (``/dbs//tables/t``, ``.../t/``) kill
+    # the match — the reference's path regex ends on a non-empty
+    # segment with no optional trailing slash (interface_provider.cc)
     if segs and segs[0] == "":
         segs = segs[1:]
-    if segs and segs[-1] == "":
-        segs = segs[:-1]
     if (str(method).upper() != "PUT" or len(segs) != 4
             or segs[0] != "dbs" or segs[2] != "tables"
             or "" in segs):
@@ -109,7 +134,14 @@ def _append_json_value(v, dtype: T.DataType, not_null: bool):
     if s == "timestamp":
         if not (is_int and -2**63 <= v < 2**63):
             raise err
-        return datetime.datetime.utcfromtimestamp(v / 1000)
+        try:
+            return datetime.datetime.utcfromtimestamp(v / 1000)
+        except (ValueError, OverflowError, OSError):
+            # documented divergence: the reference's AppendTimestamp
+            # stores ANY int64; a Spark TimestampType cell cannot hold
+            # values outside year 1..9999, so those reject instead of
+            # crashing the surface
+            raise err from None
     raise err
 
 
@@ -131,7 +163,8 @@ def put_table_row(spark, method: str, uri: str, body,
     try:
         doc = json.loads(body)
     except json.JSONDecodeError as e:
-        raise RestfulError(f"Json parse failed, error code: {e.pos}") \
+        raise RestfulError(
+            f"Json parse failed, error code: {_rapidjson_code(body, e)}") \
             from None
     value = doc.get("value") if isinstance(doc, dict) else None
     if (not isinstance(value, list) or len(value) != 1

@@ -74,8 +74,12 @@ def test_qmark_insert_dict(cur):
                 {"x": "d", "y": 4})
     rows = cur.execute("select * from new_table;").fetchall()
     assert ("d", 4) in rows
-    with pytest.raises(DatabaseError, match="data not given"):
+    # reference arity check fires FIRST, for dicts too (dbapi.py:247)
+    with pytest.raises(DatabaseError, match="parameters is not enough"):
         cur.execute("insert into new_table values(?, ?);", {"x": "e"})
+    with pytest.raises(DatabaseError, match="data not given"):
+        cur.execute("insert into new_table values(?, ?);",
+                    {"x": "e", "z": 1})
     with pytest.raises(DatabaseError, match="vale type is not str"):
         cur.execute("insert into new_table values(?, ?);",
                     {"x": 5, "y": 4})
@@ -85,6 +89,27 @@ def test_string_escaping_roundtrip(cur):
     cur.execute("insert into new_table values(?, ?);", ("it's", 9))
     rows = cur.execute("select * from new_table;").fetchall()
     assert ("it's", 9) in rows
+    # a backslash that isn't an escape introducer survives verbatim
+    cur.execute("insert into new_table values(?, ?);", ("C:\\data", 10))
+    rows = cur.execute("select * from new_table;").fetchall()
+    assert ("C:\\data", 10) in rows
+    # an escaped quote BEFORE a hole must not swallow the '?'
+    cur.execute("insert into new_table values('it\\'s 2', ?);", (11,))
+    rows = cur.execute("select * from new_table;").fetchall()
+    assert ("it's 2", 11) in rows
+
+
+def test_db_qualified_dict_insert(cur):
+    cur.execute("create database if not exists db_other;")
+    sess = cur.connection._session
+    prev = sess.db
+    sess.use("db_other")
+    cur.execute("create table ot (a string, b int);")
+    sess.use(prev)
+    cur.execute("insert into db_other.ot values(?, ?);",
+                {"a": "q", "b": 3})
+    assert cur.execute("select * from db_other.ot;").fetchall() \
+        == [("q", 3)]
 
 
 def test_executemany(cur):

@@ -111,8 +111,14 @@ def _run_case(spark, eff, expect):
     # empty — hand them through raw; the surface rejects them
     negative = expect.get("code", 0) != 0
     if negative:
-        with pytest.raises(RestfulError):
+        with pytest.raises(RestfulError) as ei:
             put_table_row(spark, eff.get("method", "PUT"), uri, body, dbs)
+        # message parity: the corpus' exact `msg` (and `msg-contains`)
+        # must appear in our error text — including the rapidjson
+        # parse-error codes (1 = DocumentEmpty, 7 = array comma)
+        want = expect.get("msg") or expect.get("msg-contains")
+        if want:
+            assert str(want) in str(ei.value), (want, str(ei.value))
         return
     put_table_row(spark, eff.get("method", "PUT"), uri, body, dbs)
     after = eff.get("afterAction") or {}
@@ -179,3 +185,14 @@ def test_strict_type_matrix(spark):
     assert one("bool", True) is True
     with pytest.raises(RestfulError):
         one("bool", 1)              # int is not a bool
+    with pytest.raises(RestfulError):
+        # int64-valid but beyond year 9999: the reference stores any
+        # int64; Spark timestamps can't — documented divergence, must
+        # reject (not crash) through the surface contract
+        one("timestamp", 253402300800000)
+    with pytest.raises(RestfulError):
+        # trailing slash: route regex ends on a non-empty segment
+        put_table_row(spark, "PUT", f"/dbs/{DB}/tables/t0/",
+                      json.dumps({"value": [[1]]}),
+                      {DB: {"t0": spark.createDataFrame(
+                          [], _schema(["c1 int"]))}})
