@@ -362,3 +362,64 @@ class Session:
                 procedures=self.procedures, db=db)
         return run_sql(self.spark, stmt, self._dotted(), params=params,
                        default_db=self.db)
+
+
+def split_statements(text: str) -> list[str]:
+    """Split a SQL script into statements on top-level ';' — quote-aware
+    (backslash escapes honored), `--` line comments stripped, and
+    BEGIN..END procedure bodies kept whole (their inner ';' does not
+    terminate the CREATE PROCEDURE statement). The CLI and the
+    batchjob mains (RunBatchSql.scala) both consume whole script files."""
+    stmts, cur = [], []
+    i, n, depth = 0, len(text), 0
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == ch:
+                    break
+                j += 1
+            cur.append(text[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "-" and text[i:i + 2] == "--":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        m = re.match(r"(?i)\b(begin|end)\b", text[i:i + 5])
+        if m and (i == 0 or not (text[i - 1].isalnum()
+                                 or text[i - 1] == "_")):
+            depth += 1 if m.group(1).lower() == "begin" else -1
+            cur.append(text[i:i + len(m.group(1))])
+            i += len(m.group(1))
+            continue
+        if ch == ";" and depth == 0:
+            s = "".join(cur).strip()
+            if s:
+                stmts.append(s + ";")
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    s = "".join(cur).strip()
+    if s:
+        stmts.append(s)
+    return stmts
+
+
+def execute_script(session: Session, text: str, params=None,
+                   path_resolver=None):
+    """Run every statement of a script through one Session; returns the
+    last statement's DataFrame (None if the script ends on a command) —
+    the RunBatchSql contract (`sess.sql(sqlText).show()` on the whole
+    file)."""
+    out = None
+    for stmt in split_statements(text):
+        out = session.execute(stmt, params=params,
+                              path_resolver=path_resolver)
+    return out
