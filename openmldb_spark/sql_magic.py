@@ -43,6 +43,8 @@ def print_table(schema, rows) -> None:
 
 @magics_class
 class SqlMagic(Magics):
+    """One cursor per registered magic; a cell body is flattened to a
+    single line, SELECTs render a table, other statements confirm."""
 
     def __init__(self, shell, db):
         super().__init__(shell)
@@ -51,19 +53,15 @@ class SqlMagic(Magics):
 
     @line_cell_magic
     def sql(self, line, cell=None):
-        if cell is None:
-            sqlText = line
-        else:
-            sqlText = cell.replace("\n", " ")
-        is_query = sqlText.strip().lower().startswith("select")
-        if is_query:
-            rows = self.cursor.execute(sqlText).fetchall()
-            schema_map = self.cursor.get_resultset_schema()
-            schema_list = map(lambda m: m["name"], schema_map)
-            print_table(schema_list, rows)
-        else:
-            self.cursor.execute(sqlText)
+        text = line if cell is None else cell.replace("\n", " ")
+        if not text.strip().lower().startswith("select"):
+            self.cursor.execute(text)
             print("Success to execute sql")
+            return
+        result = self.cursor.execute(text)
+        print_table((col["name"]
+                     for col in self.cursor.get_resultset_schema()),
+                    result.fetchall())
 
 
 def register(db, test=False):
@@ -71,7 +69,6 @@ def register(db, test=False):
         from IPython.testing.globalipapp import get_ipython
     else:  # pragma: no cover - interactive path
         from IPython import get_ipython
-    ip = get_ipython()
-    magics = SqlMagic(ip, db)
-    ip.register_magics(magics)
-    return ip
+    shell = get_ipython()
+    shell.register_magics(SqlMagic(shell, db))
+    return shell
