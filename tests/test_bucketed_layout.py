@@ -103,3 +103,21 @@ def test_materialize_by_index_uses_ddl_entry(spark, data, tmp_path):
         assert _exchanges(out) == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_ix")
+
+
+def test_iceberg_adapter_fallback(spark, data, tmp_path):
+    """sources/iceberg.py: no iceberg-spark-runtime in this sandbox, so
+    iceberg_available is False and materialize_iceberg must delegate to
+    the bucketed+sorted session-catalog layout with identical rows and
+    the same shuffle-free downstream clustering."""
+    from openmldb_spark.sources.iceberg import (iceberg_available,
+                                                materialize_iceberg)
+    assert iceberg_available(spark) is False
+    t = materialize_iceberg(data, "ice_fallback", ["conv_id"],
+                            sort_by="ts_ms", buckets=4,
+                            path=str(tmp_path / "ice_fallback"))
+    try:
+        assert _rows(t.select(*data.columns)) == _rows(data)
+        assert _exchanges(t.groupBy("conv_id").count()) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ice_fallback")
