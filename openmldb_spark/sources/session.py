@@ -390,7 +390,10 @@ def split_statements(text: str) -> list[str]:
             j = text.find("\n", i)
             i = n if j < 0 else j
             continue
-        m = re.match(r"(?i)\b(begin|end)\b", text[i:i + 5])
+        # slice one char past the keyword so \b can see the following
+        # character — text[i:i+5] would let `begin_ts`/`beginning`
+        # match \bbegin\b at the slice end and corrupt the depth
+        m = re.match(r"(?i)(begin|end)(?![\w$])", text[i:i + 6])
         if m and (i == 0 or not (text[i - 1].isalnum()
                                  or text[i - 1] == "_")):
             depth += 1 if m.group(1).lower() == "begin" else -1

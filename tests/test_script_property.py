@@ -46,3 +46,20 @@ def test_split_never_crashes_or_loses_text(raw):
     # no statement is empty, and nothing outside comments is dropped:
     # every non-comment, non-separator char must survive into output
     assert all(s.strip() for s in got)
+
+
+def test_begin_prefixed_identifiers_do_not_open_a_block():
+    # `begin_ts` / `beginning` must not increment the BEGIN..END depth
+    # (the keyword scan looks one char past the keyword)
+    got = split_statements(
+        "select begin_ts from t1; select beginning, ending from t2;")
+    assert got == ["select begin_ts from t1;",
+                   "select beginning, ending from t2;"]
+
+
+def test_block_keywords_still_recognized_next_to_punctuation():
+    got = split_statements(
+        "create procedure p() begin select 1; select 2; end; select 3;")
+    assert len(got) == 2
+    assert got[0].startswith("create procedure")
+    assert got[1] == "select 3;"
