@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 import time
 from dataclasses import dataclass, field
 from collections.abc import Callable
@@ -43,6 +42,39 @@ def _fingerprint(*parts: str) -> str:
         h.update(p.encode())
         h.update(b"\x00")
     return h.hexdigest()[:16]
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any URI scheme the cluster knows —
+    file:, hdfs:, s3a:, ... Manifests must resolve through the SAME
+    filesystem as the parquet writes, or an HDFS/S3 --ckpt-dir would
+    checkpoint data remotely but look for manifests on the driver's
+    local disk and recompute every stage on resume."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str | None:
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        return bytes(spark._jvm.org.apache.commons.io.IOUtils
+                     .toByteArray(stream)).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    stream = fs.create(hpath, True)   # overwrite; creates parent dirs
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
 
 
 @dataclass
@@ -70,8 +102,10 @@ class CheckpointedPipeline:
 
     # -- internals ---------------------------------------------------------
     def _paths(self, name: str) -> tuple[str, str]:
-        d = os.path.join(self.ckpt_dir, name)
-        return os.path.join(d, "data.parquet"), os.path.join(d, "manifest.json")
+        # plain '/' joins, not os.path: the ckpt dir may be an
+        # hdfs://... or s3a://... URI on a cluster
+        d = f"{self.ckpt_dir.rstrip('/')}/{name}"
+        return f"{d}/data.parquet", f"{d}/manifest.json"
 
     def _stage_fp(self, st: Stage) -> str:
         dep_fps = [self._fps[d] for d in st.deps]
@@ -79,10 +113,8 @@ class CheckpointedPipeline:
 
     def _load_manifest(self, name: str) -> dict | None:
         _, mpath = self._paths(name)
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                return json.load(f)
-        return None
+        text = _fs_read_text(self.spark, mpath)
+        return json.loads(text) if text is not None else None
 
     def _partition_lineage(self, df: DataFrame) -> list[dict]:
         rows = (
@@ -117,7 +149,6 @@ class CheckpointedPipeline:
 
         t0 = time.monotonic()
         out = st.fn(self.spark, *[self._results[d] for d in st.deps])
-        os.makedirs(os.path.dirname(dpath), exist_ok=True)
         out.write.mode("overwrite").parquet(dpath)
         df = self.spark.read.parquet(dpath)
         dur = time.monotonic() - t0
@@ -139,8 +170,7 @@ class CheckpointedPipeline:
                 ("spark.master", "spark.app.name")
             },
         }
-        with open(mpath, "w") as f:
-            json.dump(manifest, f, indent=1)
+        _fs_write_text(self.spark, mpath, json.dumps(manifest, indent=1))
         self._results[target] = df
         self.ledger.append({
             "stage": target, "fingerprint": fp, "action": "computed",
