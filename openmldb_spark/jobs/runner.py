@@ -155,6 +155,8 @@ class CheckpointedPipeline:
 
         lineage = self._partition_lineage(df)
         n_rows = sum(p["rows"] for p in lineage)
+        fs, hdpath = _hadoop_fs(self.spark, dpath)
+        ckpt_bytes = int(fs.getContentSummary(hdpath).getLength())
         manifest = {
             "stage": target,
             "fingerprint": fp,
@@ -162,6 +164,7 @@ class CheckpointedPipeline:
             "rows": n_rows,
             "n_partitions": len(lineage),
             "partitions": lineage,
+            "bytes": ckpt_bytes,
             "duration_sec": round(dur, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "spark_conf": {
@@ -174,7 +177,8 @@ class CheckpointedPipeline:
         self._results[target] = df
         self.ledger.append({
             "stage": target, "fingerprint": fp, "action": "computed",
-            "rows": n_rows, "duration_sec": round(dur, 3),
+            "rows": n_rows, "bytes": ckpt_bytes,
+            "duration_sec": round(dur, 3),
         })
         return df
 

@@ -53,6 +53,7 @@ def test_checkpoint_resume_and_invalidation(spark, sf_dir, tmp_path):
         man = json.load(f)
     assert man["rows"] == sum(p["rows"] for p in man["partitions"])
     assert man["n_partitions"] >= 1
+    assert man["bytes"] > 0          # checkpoint size on the ckpt FS
     assert man["duration_sec"] >= 0
     assert "spark.sql.shuffle.partitions" in man["spark_conf"]
     assert man["deps"]["filtered"]
