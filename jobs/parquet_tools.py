@@ -40,25 +40,29 @@ def inspect_parquet(spark, path: str) -> dict:
 
 
 def sample_parquet(spark, path: str, out_path: str, keep_rows: int) -> int:
-    """Bernoulli sample then LIMIT to the cap — one pass plus the
-    count, exactly the reference's 1.01x-oversample recipe."""
+    """Bernoulli sample then LIMIT to the cap — the reference's
+    1.01x-oversample recipe. Returns the number of rows actually
+    written (Bernoulli can undershoot the cap)."""
     df = spark.read.parquet(path)
     n = df.count()
-    keep = min(keep_rows, n)
     if n:
-        df = df.sample(min(1.0, 1.01 * keep / n)).limit(keep_rows)
+        df = df.sample(min(1.0, 1.01 * min(keep_rows, n) / n)) \
+               .limit(keep_rows)
     df.write.mode("overwrite").parquet(out_path)
-    return keep
+    return spark.read.parquet(out_path).count()
 
 
 def compare_parquet(spark, p1: str, p2: str) -> bool:
-    """Distinct-row comparison (the reference documents it cannot see
-    duplicate multiplicity)."""
-    df1, df2 = spark.read.parquet(p1), spark.read.parquet(p2)
+    """Row-count + distinct-row comparison (the subtracts alone cannot
+    see duplicate multiplicity — a count mismatch is inequality even
+    when the distinct sets agree)."""
+    df1 = spark.read.parquet(p1).cache()
+    df2 = spark.read.parquet(p2).cache()
     c1, c2 = df1.count(), df2.count()
     if c1 != c2:
         print("Two dataframes are not equal")
         print(f"Df1 count: {c1}, Df2 count: {c2}")
+        return False
     e1 = df1.subtract(df2).isEmpty()     # Spark EXCEPT = distinct
     e2 = df2.subtract(df1).isEmpty()
     equal = e1 and e2

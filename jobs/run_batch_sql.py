@@ -52,6 +52,10 @@ def main() -> None:
         text = f.read()
     out = execute_script(sess, text)
     if out is not None:
+        # cache before the two actions — without it the script's final
+        # (usually heaviest) query would execute twice, once for the
+        # preview and again for the count
+        out = out.persist()
         out.show(args.show_rows, truncate=False)
         print(json.dumps({"rows": out.count(),
                           "columns": list(out.columns)}))

@@ -28,13 +28,13 @@ ENDPOINT = "spark"
 def _cell(v) -> str:
     """GetAsString rendering: NULL, true/false, epoch-ms timestamps,
     ISO dates."""
+    from openmldb_spark.dbapi import epoch_ms
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, datetime.datetime):
-        return str(int(v.replace(tzinfo=datetime.timezone.utc)
-                       .timestamp() * 1000))
+        return str(epoch_ms(v))
     if isinstance(v, datetime.date):
         return v.isoformat()
     return str(v)
@@ -94,7 +94,11 @@ def repl(session, stdin=None, stdout=None, interactive: bool = True,
             stdout.write("Bye\n")
             return
         if sql.endswith(";") or one_cmd is not None:
-            stdout.write(handle_sql(session, sql) + "\n")
+            # a pasted line may carry several ';'-separated statements
+            # (and --cmd may too) — run each through the session
+            from openmldb_spark.sources.session import split_statements
+            for stmt in split_statements(sql) or [sql]:
+                stdout.write(handle_sql(session, stmt) + "\n")
             buf = ""
             prefix = f"{ENDPOINT}/{session.db or ''}> "
             cont = " " * (len(prefix) - 3) + "-> "

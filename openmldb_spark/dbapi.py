@@ -121,6 +121,17 @@ _INSERT_RE = re.compile("^insert", re.I)
 _SELECT_RE = re.compile("^select", re.I)
 
 
+def epoch_ms(v: datetime.datetime) -> int:
+    """Epoch milliseconds of a datetime from Spark collect().
+
+    PySpark's non-Arrow collect() materializes TimestampType via
+    ``datetime.fromtimestamp`` — a NAIVE datetime in the driver's LOCAL
+    timezone. ``timestamp()`` interprets naive values as local, i.e. is
+    the exact inverse; stamping tzinfo=UTC instead would shift every
+    value by the driver's UTC offset on a non-UTC host."""
+    return int(v.timestamp() * 1000)
+
+
 def _lit(v) -> str:
     """Render one parameter as a SQL literal for hole substitution."""
     if v is None:
@@ -265,8 +276,7 @@ class Cursor:
             return v.isoformat() if isinstance(v, datetime.date) else str(v)
         if s == "timestamp":
             if isinstance(v, datetime.datetime):
-                return int(v.replace(tzinfo=datetime.timezone.utc)
-                           .timestamp() * 1000)
+                return epoch_ms(v)
             return int(v)
         return v
 

@@ -143,7 +143,8 @@ class CheckpointedPipeline:
             self._results[target] = df
             self.ledger.append({
                 "stage": target, "fingerprint": fp, "action": "resumed",
-                "rows": man["rows"], "duration_sec": 0.0,
+                "rows": man["rows"], "bytes": man.get("bytes", 0),
+                "duration_sec": 0.0,
             })
             return df
 

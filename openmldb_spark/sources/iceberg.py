@@ -9,12 +9,16 @@ bucketed+sorted parquet layout (`sources/layout.py`, the same physical
 clustering) when it is not — which is the case in this sandbox (no
 iceberg jar; documented env constraint, VERDICT r2/r3).
 
-Real-path calls (exercised only with the jar present):
-    df.writeTo(f"{catalog}.{name}")
-      .partitionedBy(F.bucket(buckets, keys[0]))
-      .tableProperty("write.distribution-mode", "hash")
-      .tableProperty("sort-order", f"{keys[0]} ASC, {sort_by} ASC")
-      .createOrReplace()
+Real-path contract (exercised only with the jar present):
+- the initial write is explicitly clustered and sorted on the Python
+  side (`repartition(buckets, key)` + `sortWithinPartitions(keys, ts)`)
+  with ``write.distribution-mode=none`` so Iceberg's writer PRESERVES
+  that order into the data files — a ``sort-order`` table property
+  would be inert, and distribution-mode=hash would re-shuffle away the
+  sort;
+- ``ALTER TABLE ... WRITE ORDERED BY`` then records the sort order in
+  table metadata so future appends/compactions keep it (needs the
+  IcebergSparkSessionExtensions SQL extension; best-effort).
 """
 
 from __future__ import annotations
@@ -24,12 +28,22 @@ import pyspark.sql.functions as F
 
 
 def iceberg_available(spark) -> bool:
-    """True iff an Iceberg runtime is loaded in this session's JVM."""
+    """True iff an Iceberg runtime is loadable in this session's JVM.
+
+    Probes through the context classloader FIRST: jars added with
+    ``--jars``/``--packages`` live in Spark's MutableURLClassLoader,
+    which the py4j-visible ``Class.forName`` (system classloader) does
+    not see — probing only the system loader would silently degrade a
+    properly configured cluster to the fallback layout."""
+    jvm = spark._jvm
     try:
-        spark._jvm.org.apache.iceberg.Schema  # noqa: B018 - probe
-        # touching the class only raises on CALL for missing classes in
-        # some py4j versions; force resolution through the class loader
-        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Schema")
+        (jvm.java.lang.Thread.currentThread().getContextClassLoader()
+         .loadClass("org.apache.iceberg.Schema"))
+        return True
+    except Exception:
+        pass
+    try:
+        jvm.java.lang.Class.forName("org.apache.iceberg.Schema")
         return True
     except Exception:
         return False
@@ -52,14 +66,21 @@ def materialize_iceberg(
     if buckets is None:
         buckets = spark.sparkContext.defaultParallelism
     if iceberg_available(spark):  # pragma: no cover - jar absent here
-        w = (df.writeTo(f"{catalog}.{name}")
-               .partitionedBy(F.bucket(int(buckets), keys[0]))
-               .tableProperty("write.distribution-mode", "hash"))
-        if sort_by:
-            w = w.tableProperty(
-                "sort-order",
-                ", ".join(f"{k} ASC" for k in [*keys, sort_by]))
-        w.createOrReplace()
+        order_cols = [*keys, sort_by] if sort_by else list(keys)
+        clustered = (df.repartition(int(buckets), keys[0])
+                       .sortWithinPartitions(*order_cols))
+        (clustered.writeTo(f"{catalog}.{name}")
+         .partitionedBy(F.bucket(int(buckets), keys[0]))
+         .tableProperty("write.distribution-mode", "none")
+         .createOrReplace())
+        try:
+            # future appends/compactions keep the order; requires the
+            # Iceberg SQL extensions — the initial files are already
+            # sorted above even when this is unavailable
+            spark.sql(f"ALTER TABLE {catalog}.{name} WRITE ORDERED BY "
+                      + ", ".join(order_cols))
+        except Exception:
+            pass
         return spark.table(f"{catalog}.{name}")
     from openmldb_spark.sources.layout import materialize_indexed
     return materialize_indexed(df, name, keys, sort_by=sort_by,

@@ -371,7 +371,13 @@ def split_statements(text: str) -> list[str]:
     terminate the CREATE PROCEDURE statement). The CLI and the
     batchjob mains (RunBatchSql.scala) both consume whole script files."""
     stmts, cur = [], []
-    i, n, depth = 0, len(text), 0
+    # `END` closes the NEAREST opener — a CASE expression's END must not
+    # close a BEGIN block (else `select case ... end from t; select 2`
+    # drives the depth negative and every later ';' stops splitting).
+    # Track openers on a stack: 'b' = BEGIN, 'c' = CASE; ';' splits only
+    # when no BEGIN is open (a ';' can't occur inside a CASE anyway).
+    stack: list[str] = []
+    i, n = 0, len(text)
     while i < n:
         ch = text[i]
         if ch in "'\"":
@@ -393,14 +399,19 @@ def split_statements(text: str) -> list[str]:
         # slice one char past the keyword so \b can see the following
         # character — text[i:i+5] would let `begin_ts`/`beginning`
         # match \bbegin\b at the slice end and corrupt the depth
-        m = re.match(r"(?i)(begin|end)(?![\w$])", text[i:i + 6])
+        m = re.match(r"(?i)(begin|case|end)(?![\w$])", text[i:i + 6])
         if m and (i == 0 or not (text[i - 1].isalnum()
                                  or text[i - 1] == "_")):
-            depth += 1 if m.group(1).lower() == "begin" else -1
+            kw = m.group(1).lower()
+            if kw == "end":
+                if stack:          # unbalanced END never goes negative
+                    stack.pop()
+            else:
+                stack.append(kw[0])
             cur.append(text[i:i + len(m.group(1))])
             i += len(m.group(1))
             continue
-        if ch == ";" and depth == 0:
+        if ch == ";" and "b" not in stack:
             s = "".join(cur).strip()
             if s:
                 stmts.append(s + ";")

@@ -71,3 +71,13 @@ def test_null_and_type_rendering(sess):
 def test_use_switches_prompt_db(sess):
     out = _run(sess, "create database db2;\nuse db2;\nquit;\n")
     assert "spark/db2> " in out
+
+
+def test_pasted_multi_statement_line_runs_each(sess):
+    out = _run(sess, "\n".join([
+        "create table t9 (a int); insert into t9 values (3);",
+        "select * from t9;",
+        "quit",
+    ]))
+    assert out.count("SUCCEED") == 2
+    assert "1 rows in set" in out

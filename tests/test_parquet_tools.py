@@ -26,9 +26,10 @@ def test_inspect(spark, capsys):
 def test_sample(spark, tmp_path):
     dest = str(tmp_path / "sampled")
     kept = sample_parquet(spark, DOCS, dest, 10)
-    assert kept == 10
     got = spark.read.parquet(dest)
-    assert got.count() <= 10
+    # Bernoulli can undershoot the cap; the return value must be the
+    # count actually written, never the requested cap
+    assert kept == got.count() <= 10
     assert got.schema == spark.read.parquet(DOCS).schema
 
 
@@ -38,6 +39,17 @@ def test_compare(spark, tmp_path, capsys):
     dest = str(tmp_path / "subset")
     sample_parquet(spark, DOCS, dest, 5)
     assert compare_parquet(spark, DOCS, dest) is False
+    assert "not equal" in capsys.readouterr().out
+
+
+def test_compare_sees_duplicate_multiplicity(spark, tmp_path, capsys):
+    # same DISTINCT rows but different counts must compare unequal —
+    # the subtracts alone cannot tell [a,a,b] from [a,b]
+    base = spark.read.parquet(DOCS).limit(3)
+    p1, p2 = str(tmp_path / "dup"), str(tmp_path / "nodup")
+    base.union(base).write.parquet(p1)
+    base.write.parquet(p2)
+    assert compare_parquet(spark, p1, p2) is False
     assert "not equal" in capsys.readouterr().out
 
 

@@ -41,11 +41,25 @@ def test_split_is_partition(stmts):
 @settings(max_examples=100, deadline=None)
 @given(st.text(alphabet=st.sampled_from(list("ab;'\"\\-\n ()")),
                max_size=40))
-def test_split_never_crashes_or_loses_text(raw):
+def test_split_never_crashes_or_emits_blank_statements(raw):
     got = split_statements(raw)
-    # no statement is empty, and nothing outside comments is dropped:
-    # every non-comment, non-separator char must survive into output
     assert all(s.strip() for s in got)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("ab;'\"\\\n ()")),
+               max_size=40))
+def test_split_loses_no_characters(raw):
+    # comment-free alphabet (no '-'): every char other than whitespace
+    # and the ';' separators must survive into the output verbatim
+    from collections import Counter
+
+    got = split_statements(raw)
+
+    def keep(s):
+        return Counter(c for c in s if not c.isspace() and c != ";")
+
+    assert keep("".join(got)) == keep(raw)
 
 
 def test_begin_prefixed_identifiers_do_not_open_a_block():
@@ -63,3 +77,24 @@ def test_block_keywords_still_recognized_next_to_punctuation():
     assert len(got) == 2
     assert got[0].startswith("create procedure")
     assert got[1] == "select 3;"
+
+
+def test_case_end_at_top_level_does_not_block_splitting():
+    got = split_statements(
+        "select case when y=1 then 'a' else 'b' end from t1; select 2;")
+    assert got == [
+        "select case when y=1 then 'a' else 'b' end from t1;",
+        "select 2;"]
+
+
+def test_case_inside_begin_block_does_not_close_it():
+    got = split_statements(
+        "create procedure p() begin "
+        "select case when a then 1 end from t; end; select 9;")
+    assert len(got) == 2
+    assert got[1] == "select 9;"
+
+
+def test_unbalanced_end_never_blocks_later_splits():
+    got = split_statements("select 1 end; select 2;")
+    assert got == ["select 1 end;", "select 2;"]
