@@ -21,7 +21,7 @@ are deterministic and the label doubles as the canonical doc id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
@@ -63,11 +63,21 @@ def connected_components(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
     max_iter: int = 25,
 ) -> DataFrame:
-    """(src, dst) pair DataFrame → (id, component) for every id that
-    appears in a pair; component = min id of its connected component.
-    Ids of any orderable type (tested with strings)."""
+    """(src, dst) pair DataFrame → (id, component) for every non-null id
+    that appears in a pair; component = min id of its connected
+    component. Ids of any orderable type (tested with strings). An id
+    seen only in self-pairs (src == dst) is its own singleton component;
+    null ids are dropped (no order position, can't label a component)."""
+    base = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        base.select(F.col("src").alias("id"))
+        .union(base.select(F.col("dst").alias("id")))
+        .where(F.col("id").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     edges = (
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        base
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -107,16 +117,16 @@ def connected_components(
             f"connected_components did not reach a fixed point in "
             f"{max_iter} iterations; raise max_iter (alternation "
             f"converges in O(log^2 n) rounds)")
-    # star form: every non-root points at its component root
+    # star form: every non-root points at its component root; every
+    # other vertex of the input (roots AND ids seen only in self-pairs,
+    # which the src != dst edge filter removed) is its own label
     labels = edges.groupBy("src").agg(F.min("dst").alias("component")) \
         .select(F.col("src").alias("id"), "component")
-    roots = (
-        edges.select(F.col("dst").alias("id"))
-        .distinct()
-        .join(labels, "id", "left_anti")
+    singletons = (
+        verts.join(labels, "id", "left_anti")
         .select("id", F.col("id").alias("component"))
     )
-    return labels.union(roots)
+    return labels.union(singletons)
 
 
 def dedup_clusters(
@@ -124,17 +134,31 @@ def dedup_clusters(
 ) -> DataFrame:
     """Every doc → (doc_id, component, is_canonical, cluster_size).
     Docs in no pair are their own singleton cluster; the canonical doc
-    of a cluster is the min doc id (deterministic keep-one policy)."""
+    of a cluster is the min PRESENT doc id (deterministic keep-one
+    policy) — not the component label, which can name an id absent from
+    ``docs`` when pairs were generated before a doc filter; labeling off
+    the component would then keep ZERO docs from that cluster.
+
+    Cluster stats come from a groupBy (map-side partial aggregation)
+    joined back onto the docs — an unbounded count() window would
+    serialize a boilerplate mega-cluster into one task, the skew this
+    file's 100 TB framing exists to avoid. The join strategy is left to
+    AQE: stats can be near-|docs| rows (mostly singletons), so a forced
+    broadcast would be wrong; AQE converts to broadcast when the
+    measured size is small and splits skewed partitions otherwise."""
     comp = connected_components(pairs)
-    out = (
+    labeled = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp.select(F.col("id").alias("doc_id"), "component"),
               "doc_id", "left")
         .select("doc_id",
                 F.coalesce("component", "doc_id").alias("component"))
-        .withColumn("cluster_size",
-                    F.count(F.lit(1)).over(
-                        Window.partitionBy("component")))
-        .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+    )
+    stats = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("__canon"))
+    out = (
+        labeled.join(stats, "component")
+        .withColumn("is_canonical", F.col("doc_id") == F.col("__canon"))
     )
     return out.select("doc_id", "component", "is_canonical", "cluster_size")

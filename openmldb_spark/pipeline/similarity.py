@@ -37,8 +37,31 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float|double> columns (built-ins)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array<float|double> columns (built-ins).
+
+    A zero-norm vector (all-zero embedding: padding rows, failed
+    encoders) yields similarity 0.0 instead of DIVIDE_BY_ZERO — under
+    Spark 4's default ANSI mode a bare division would abort the whole
+    job on one bad row. Codegen's subexpression elimination keeps the
+    norms computed once."""
+    den = _norm(a) * _norm(b)
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / den)
+
+
+def _topk(sims: DataFrame, k: int, query_id_col: str,
+          id_col: str) -> DataFrame:
+    """Per-query top-k epilogue shared by every ANN variant: rank by
+    cosine desc with corpus-id-asc tie-break for determinism."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, id_col, "rk",
+                F.round("cosine", 6).alias("cosine"))
+    )
 
 
 def ann_bruteforce(
@@ -50,8 +73,6 @@ def ann_bruteforce(
 
     queries: (query_id, vec) — small; broadcast. Ties broken by corpus id
     ascending for determinism."""
-    from pyspark.sql import Window
-
     q = F.broadcast(queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")))
     corpus = ensure_parallelism(corpus)
@@ -59,13 +80,7 @@ def ann_bruteforce(
         query_id_col, id_col,
         cosine_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(query_id_col, id_col, "rk", F.round("cosine", 6).alias("cosine"))
-    )
+    return _topk(sims, k, query_id_col, id_col)
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -74,16 +89,30 @@ def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 
 def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-pattern bucket id from fixed random hyperplanes (map-only)."""
+    """Sign-pattern bucket id from fixed random hyperplanes (map-only).
+
+    The accumulator is LONG (an int accumulator overflows at
+    n_planes >= 32 and ANSI mode turns that into a job-killing
+    ARITHMETIC_OVERFLOW). A vector whose length differs from the plane
+    dimensionality raises instead of silently hashing to bucket 0 —
+    zip_with pads the short side with nulls, the dot goes NULL, every
+    sign test fails, and a wrong user-supplied ``dim`` would silently
+    degrade the bucketed join to a full quadratic one."""
+    dim = planes.shape[1]
     bits = [
         F.when(_dot(vec, F.array(*[F.lit(float(v)) for v in p])) >= 0, 1
                ).otherwise(0)
         for p in planes
     ]
-    acc = F.lit(0)
+    acc = F.lit(0).cast("long")
     for b in bits:
         acc = acc * 2 + b
-    return acc
+    return F.when(
+        F.size(vec) != dim,
+        F.raise_error(F.concat(
+            F.lit(f"lsh_bucket_col: expected {dim}-dim vectors, got "),
+            F.size(vec).cast("string"))).cast("long"),
+    ).otherwise(acc)
 
 
 def ann_lsh(
@@ -98,8 +127,6 @@ def ann_lsh(
     ``dim`` is required: the hyperplanes are plan-time literals, and
     sniffing the dimension with .first() would fire a driver-side Spark
     job during DataFrame construction."""
-    from pyspark.sql import Window
-
     if dim is None:
         raise ValueError(
             "ann_lsh requires dim= (embedding dimensionality is schema "
@@ -118,13 +145,7 @@ def ann_lsh(
         query_id_col, id_col,
         cosine_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(query_id_col, id_col, "rk", F.round("cosine", 6).alias("cosine"))
-    )
+    return _topk(sims, k, query_id_col, id_col)
 
 
 def ivf_centroids(
@@ -147,7 +168,15 @@ def ivf_centroids(
         .limit(nlist)
         .collect()
     )
-    return [(int(r[0]), [float(v) for v in r[1]]) for r in rows]
+    # cid must be numeric (the argmax tie-break packs -cid into a
+    # struct); non-integer ids get dense positional cids — still
+    # deterministic, since rows are ordered by id
+    out = []
+    for i, r in enumerate(rows):
+        rid = r[0]
+        cid = int(rid) if isinstance(rid, (int, np.integer)) else i
+        out.append((cid, [float(v) for v in r[1]]))
+    return out
 
 
 def _centroid_sims(vec: Column, centroids) -> list[tuple[int, Column]]:
@@ -200,8 +229,6 @@ def ann_ivf(
     the per-query top-k over the pruned candidates. Recall < 1 by
     construction for nprobe < nlist; nprobe = nlist degrades exactly to
     ann_bruteforce (asserted in tests)."""
-    from pyspark.sql import Window
-
     if centroids is None:
         centroids = ivf_centroids(corpus, nlist, vec_col, id_col)
     corpus = ensure_parallelism(corpus)
@@ -217,13 +244,7 @@ def ann_ivf(
         query_id_col, id_col,
         cosine_col(F.col(vec_col), F.col("__qvec")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(query_id_col, id_col, "rk", F.round("cosine", 6).alias("cosine"))
-    )
+    return _topk(sims, k, query_id_col, id_col)
 
 
 def embedding_near_dups(

@@ -253,3 +253,50 @@ def test_minhash_fast_certified_against_ground_truth(spark):
         v == 1.0 for v in exact.values()), exact
     assert fast == exact, (fast.keys() ^ exact.keys())
     assert md5 == exact, (md5.keys() ^ exact.keys())
+
+
+def test_cosine_zero_norm_vector_yields_zero_not_error(spark):
+    # an all-zero embedding must not DIVIDE_BY_ZERO the job under
+    # Spark 4's default ANSI mode — cosine with a zero vector is 0.0
+    from openmldb_spark.pipeline.similarity import cosine_col
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>")
+    got = [r.c for r in df.select(
+        cosine_col(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == 0.0 and abs(got[1] - 1.0) < 1e-12
+
+
+def test_lsh_bucket_rejects_wrong_dim(spark):
+    # a wrong user-supplied dim must raise, not silently hash every
+    # row to bucket 0 (degrading the bucketed join to a full join)
+    from openmldb_spark.pipeline.similarity import _planes, lsh_bucket_col
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<double>")
+    planes = _planes(dim=5, n_planes=2, seed=1)
+    with pytest.raises(Exception, match="expected 5-dim"):
+        df.select(lsh_bucket_col(F.col("v"), planes).alias("b")).collect()
+
+
+def test_lsh_bucket_32_planes_no_overflow(spark):
+    # the bucket accumulator must be long: 32 planes overflows int
+    # (ANSI ARITHMETIC_OVERFLOW would kill the job)
+    from openmldb_spark.pipeline.similarity import _planes, lsh_bucket_col
+    df = spark.createDataFrame(
+        [([1.0] * 8,), ([-1.0] * 8,)], "v array<double>")
+    planes = _planes(dim=8, n_planes=32, seed=1)
+    got = [r.b for r in df.select(
+        lsh_bucket_col(F.col("v"), planes).alias("b")).collect()]
+    assert all(0 <= b < 2 ** 32 for b in got)
+
+
+def test_ann_ivf_string_ids(spark):
+    # sibling ANN APIs accept any orderable id type; IVF must too
+    # (string ids get dense positional centroid cids)
+    from openmldb_spark.pipeline.similarity import ann_ivf
+    rows = [(f"doc_{i:03d}", [float(i), 1.0]) for i in range(12)]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    queries = spark.createDataFrame(
+        [("q0", [11.0, 1.0])], "query_id string, embedding array<double>")
+    out = ann_ivf(corpus, queries, k=3, nlist=4, nprobe=4).collect()
+    assert len(out) == 3
+    assert all(isinstance(r.vec_id, str) for r in out)
