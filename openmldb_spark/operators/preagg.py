@@ -15,23 +15,42 @@ buckets:
                  + sum(raw in left  edge bucket, ord ≥ t-W)
                  + sum(raw in right edge bucket, ord ≤ t)
 
-All JVM (joins + groupBy + one tiny per-key window over buckets); work
-per row is O(bucket_size) instead of O(window_size) — the win when the
-window spans many buckets (e.g. 30-day window, 1-day buckets ⇒ ~15×
-less scanned).
+Partials stay SPARSE (one row per occupied bucket): cum at an arbitrary
+bucket b resolves as the last partial with bucket ≤ b via one
+sort-within-key window over (partials ∪ lookups) — no per-key bucket
+densification, whose sequence() array would explode for a sparse key
+spanning years at small bucket_ms. A lookup below the key's first
+bucket resolves to 0; above the last bucket it degrades to the last
+known cum (partials built from a stale snapshot undercount — they never
+produce negative garbage; build partials from the SAME df for exact
+results).
+
+All JVM (joins + groupBy + per-key windows); work per row is
+O(bucket_size) instead of O(window_size) — the win when the window
+spans many buckets (e.g. 30-day window, 1-day buckets ⇒ ~15× less
+scanned).
 
 Scope: sum/count/avg (prefix-invertible). min/max are not invertible —
 use the kernel tier (or MAXSIZE-bounded frames). Semantics: closed
 [t-W, t] frame over DISTINCT order keys per key — with duplicate order
 keys this admits all ties (ANSI RANGE behavior), unlike the kernel's
 buffered-ties rule; assert distinct keys upstream if exact OpenMLDB
-tie semantics matter.
+tie semantics matter. Rows with NULL or negative order keys are dropped
+like every window tier (reference emit-filter, window.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
+
+from openmldb_spark.operators.window import _order_col
+
+
+def _bucket(ord_ms, bucket_ms: int):
+    # floor, not cast-truncation: (t - W) is legitimately negative for
+    # early rows and trunc-toward-zero would misbucket them
+    return F.floor(ord_ms / F.lit(bucket_ms))
 
 
 def build_preagg(
@@ -44,26 +63,21 @@ def build_preagg(
     """Materialize per-(key, bucket) partials: sum/count plus the running
     (cumulative) versions used for O(1) full-bucket range sums.
 
-    Buckets are densified per key (empty buckets carry the running
-    values) so lookups are exact equi-joins."""
-    b = (F.col(order_col).cast("long") / bucket_ms).cast("long")
+    Sparse — only occupied buckets get a row; empty buckets contribute
+    nothing to the running values by construction. The order column
+    resolves through the same ms semantics as every window tier
+    (timestamp → epoch ms, not the cast-to-long SECONDS a bare cast
+    would give)."""
+    ordc = _order_col(df, order_col)
+    src = df.where(ordc.isNotNull() & (ordc >= 0))
     partials = (
-        df.groupBy(*keys, b.alias("bucket"))
-        .agg(F.sum(value_col).alias("b_sum"),
+        src.groupBy(*keys, _bucket(ordc, bucket_ms).alias("bucket"))
+        .agg(F.sum(F.col(value_col).cast("double")).alias("b_sum"),
              F.count(value_col).alias("b_cnt"))
-    )
-    span = partials.groupBy(*keys).agg(
-        F.min("bucket").alias("b_lo"), F.max("bucket").alias("b_hi"))
-    dense = (
-        span.withColumn("bucket", F.explode(
-            F.sequence(F.col("b_lo"), F.col("b_hi"))))
-        .drop("b_lo", "b_hi")
-        .join(partials, [*keys, "bucket"], "left")
-        .fillna(0, subset=["b_sum", "b_cnt"])
     )
     w = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0)
-    return dense.select(
+    return partials.select(
         *keys, "bucket", "b_sum", "b_cnt",
         F.sum("b_sum").over(w).alias("cum_sum"),
         F.sum("b_cnt").over(w).alias("cum_cnt"),
@@ -82,37 +96,69 @@ def long_window_agg(
 ) -> DataFrame:
     """Closed [t-W, t] frame sum/count/avg per row via partials + edge
     scans. Returns df plus {prefix}_sum/{prefix}_cnt/{prefix}_avg."""
-    ordc = F.col(order_col).cast("long")
-    rows = df.withColumn("__ord", ordc) \
-             .withColumn("__bc", (ordc / bucket_ms).cast("long")) \
-             .withColumn("__bs", ((ordc - window_ms) / bucket_ms).cast("long"))
+    ordc = _order_col(df, order_col)
+    rows = (
+        df.where(ordc.isNotNull() & (ordc >= 0))
+        # a unique row id keeps exact-duplicate input rows distinct
+        # through the edge-scan groupBys (grouping on data columns
+        # alone would collapse duplicates and double their sums)
+        .withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn("__ord", ordc)
+        .withColumn("__bc", _bucket(ordc, bucket_ms))
+        .withColumn("__bs", _bucket(ordc - window_ms, bucket_ms))
+    )
 
-    def cum_at(alias: str, bucket_expr):
-        """cum_{sum,cnt} at a given bucket (clamped into the key's span:
-        below span → 0 via left-join miss on floor... we join exact and
-        rely on densified buckets; below b_lo means zero)."""
-        p = partials.select(
-            *[F.col(k).alias(f"{alias}_{k}") for k in keys],
-            F.col("bucket").alias(f"{alias}_bucket"),
-            F.col("cum_sum").alias(f"{alias}_cum_sum"),
-            F.col("cum_cnt").alias(f"{alias}_cum_cnt"),
+    # ---- cum lookups at __bc-1 ("a") and __bs ("b"), sparse as-of ----
+    # union the lookup points into the partials stream and take the
+    # running last cum per key ordered by bucket (partials sort before
+    # lookups at equal bucket): one window, no densification
+    def _lk(bucket_expr, which):
+        return rows.select(
+            *keys, F.col("__rid"), bucket_expr.alias("bucket"),
+            F.lit(None).cast("double").alias("cum_sum"),
+            F.lit(None).cast("long").alias("cum_cnt"),
+            F.lit(which).alias("__which"), F.lit(0).alias("__isp"),
         )
-        cond = None
-        for k in keys:
-            c = F.col(k) == F.col(f"{alias}_{k}")
-            cond = c if cond is None else cond & c
-        cond = cond & (bucket_expr == F.col(f"{alias}_bucket"))
-        return p, cond
 
-    # inner full buckets: cum(bc-1) - cum(bs); missing join (bucket below
-    # the key's first bucket or bc-1 < b_lo) coalesces to 0
-    pa, ca = cum_at("pa", F.col("__bc") - 1)
-    pb, cb = cum_at("pb", F.col("__bs"))
-    # same-bucket windows (bs == bc) have no inner buckets at all
+    stream = (
+        partials.select(
+            *keys, "bucket",
+            F.col("cum_sum").cast("double").alias("cum_sum"),
+            F.col("cum_cnt").cast("long").alias("cum_cnt"),
+            F.lit(None).cast("long").alias("__rid"),
+            F.lit(None).cast("string").alias("__which"),
+            F.lit(1).alias("__isp"))
+        .select(*keys, "__rid", "bucket", "cum_sum", "cum_cnt",
+                "__which", "__isp")
+        .unionByName(_lk(F.col("__bc") - 1, "a"))
+        .unionByName(_lk(F.col("__bs"), "b"))
+    )
+    wlast = Window.partitionBy(*keys).orderBy(
+        F.col("bucket").asc(), F.col("__isp").desc()).rowsBetween(
+        Window.unboundedPreceding, 0)
+    resolved = (
+        stream
+        .withColumn("__c_sum", F.last("cum_sum", ignorenulls=True).over(wlast))
+        .withColumn("__c_cnt", F.last("cum_cnt", ignorenulls=True).over(wlast))
+        .where(F.col("__isp") == 0)
+        .groupBy("__rid")
+        .agg(
+            F.max(F.when(F.col("__which") == "a", F.col("__c_sum")))
+            .alias("pa_cum_sum"),
+            F.max(F.when(F.col("__which") == "a", F.col("__c_cnt")))
+            .alias("pa_cum_cnt"),
+            F.max(F.when(F.col("__which") == "b", F.col("__c_sum")))
+            .alias("pb_cum_sum"),
+            F.max(F.when(F.col("__which") == "b", F.col("__c_cnt")))
+            .alias("pb_cum_cnt"),
+        )
+    )
+
+    # inner full buckets: cum(bc-1) - cum(bs); a lookup below the key's
+    # first bucket resolved to null → 0
     one_bucket = F.col("__bs") == F.col("__bc")
     rows = (
-        rows.join(pa, ca, "left")
-        .join(pb, cb, "left")
+        rows.join(resolved, "__rid", "left")
         .withColumn("__inner_sum",
                     F.when(one_bucket, F.lit(0.0)).otherwise(
                         F.coalesce("pa_cum_sum", F.lit(0.0))
@@ -121,17 +167,15 @@ def long_window_agg(
                     F.when(one_bucket, F.lit(0)).otherwise(
                         F.coalesce("pa_cum_cnt", F.lit(0))
                         - F.coalesce("pb_cum_cnt", F.lit(0))))
-        .drop(*[f"pa_{k}" for k in keys], "pa_bucket", "pa_cum_sum",
-              "pa_cum_cnt",
-              *[f"pb_{k}" for k in keys], "pb_bucket", "pb_cum_sum",
-              "pb_cum_cnt")
+        .drop("pa_cum_sum", "pa_cum_cnt", "pb_cum_sum", "pb_cum_cnt")
     )
 
     # edge scans: raw rows of the two boundary buckets only
-    raw = df.select(
+    raw_ord = _order_col(df, order_col)
+    raw = df.where(raw_ord.isNotNull() & (raw_ord >= 0)).select(
         *[F.col(k).alias(f"h_{k}") for k in keys],
-        ordc.alias("h_ord"),
-        (ordc / bucket_ms).cast("long").alias("h_bucket"),
+        raw_ord.alias("h_ord"),
+        _bucket(raw_ord, bucket_ms).alias("h_bucket"),
         F.col(value_col).alias("h_val"),
     )
 
@@ -173,7 +217,8 @@ def long_window_agg(
         .withColumn(
             f"{out_prefix}_avg",
             F.when(total_cnt > 0, total_sum / total_cnt))
-        .drop("__ord", "__bc", "__bs", "__inner_sum", "__inner_cnt",
-              "__left_sum", "__left_cnt", "__right_sum", "__right_cnt")
+        .drop("__rid", "__ord", "__bc", "__bs", "__inner_sum",
+              "__inner_cnt", "__left_sum", "__left_cnt", "__right_sum",
+              "__right_cnt")
     )
     return out

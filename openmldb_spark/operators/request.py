@@ -50,15 +50,32 @@ def request_features(
     import dataclasses
     spec = dataclasses.replace(spec, instance_not_in_window=True)
     hist = history
-    if prune_history and spec.frame != "rows":
+    # prune ONLY pure-time frames: a rows frame needs the newest N rows
+    # whatever their age, and rows_merge_rows_range keeps a
+    # rows_preceding floor (window_kernel lo = min(time_lo,
+    # hi-(rows+1))) that time-pruned history could starve
+    if prune_history and spec.frame == "rows_range":
         # history older than (max request ts - frame depth) can never
-        # enter any frame: push the bound to the scan
-        ordc = _order_col(requests, spec.order_by)
+        # enter any frame: push the bound to the scan. The order column
+        # resolves with window_agg's case-insensitive rule so the
+        # pruned and unpruned paths accept the same specs.
+        order_name = spec.order_by
+        if order_name not in requests.columns:
+            hits = [c for c in requests.columns
+                    if c.lower() == str(order_name).lower()]
+            if len(hits) == 1:
+                order_name = hits[0]
+        # the min/max action is one of the engine's three bounded
+        # deliberate driver actions (request batches are small by
+        # contract); persist first so the request lineage doesn't
+        # execute twice (once here, once in the feature job)
+        requests = requests.persist()
+        ordc = _order_col(requests, order_name)
         bounds = requests.agg(
             F.max(ordc).alias("mx"), F.min(ordc).alias("mn")).first()
         if bounds.mx is not None:
             lo = bounds.mn - spec.start_delta
-            h_ord = _order_col(history, spec.order_by)
+            h_ord = _order_col(history, order_name)
             hist = history.where((h_ord >= lo) & (h_ord <= bounds.mx))
 
     return window_agg(requests, spec, aggs, keep_cols=keep_cols,

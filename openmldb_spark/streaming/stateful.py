@@ -95,8 +95,12 @@ def _fold_arrays(conv: str, ts: np.ndarray, turn: np.ndarray,
         "prev_value": prev.to_numpy(),
     })
     nv = np.flatnonzero(valid)
+    # carried last_ts is MONOTONIC: after folding a straggler (ts below
+    # the carry) a bare ts[-1] would regress it and fabricate a session
+    # break for the next on-time row
+    new_last = int(ts[-1]) if last_ts is None else max(int(ts[-1]), last_ts)
     new_carry = (
-        int(ts[-1]), int(sess[-1]), float(run_sum_arr[-1]),
+        new_last, int(sess[-1]), float(run_sum_arr[-1]),
         int(run_cnt_arr[-1]),
         float(val[nv[-1]]) if len(nv) else last_value,
     )
@@ -124,7 +128,15 @@ def _fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
             yield out
         return
 
-    parts = [pdf for pdf in pdfs if len(pdf)]
+    # drop rows with a null order key like every batch tier does
+    # (reference emit-filter) — a NaN in ts_ms/turn_idx would otherwise
+    # crash the int64 conversion and kill the streaming query
+    parts = []
+    for pdf in pdfs:
+        if len(pdf):
+            pdf = pdf[pdf["ts_ms"].notna() & pdf["turn_idx"].notna()]
+            if len(pdf):
+                parts.append(pdf)
     ts = np.concatenate(
         [p["ts_ms"].to_numpy(np.int64) for p in parts]
         + [np.asarray(buf_ts, dtype=np.int64)])

@@ -76,3 +76,54 @@ def test_preagg_partials_reusable_table(spark, sf_dir, tmp_path):
     a = a.sort_values(KEY).reset_index(drop=True)
     b = b.sort_values(KEY).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_preagg_duplicate_rows_not_collapsed(spark):
+    """Exact-duplicate input rows must each produce an output row with
+    the correct (not doubled) frame sum — the review repro."""
+    df = spark.createDataFrame(
+        [("a", 1000, 1.0), ("a", 1000, 1.0), ("a", 2000, 2.0)],
+        ["conv_id", "ts_ms", "value"])
+    p = build_preagg(df, ["conv_id"], "ts_ms", "value", bucket_ms=10_000)
+    got = long_window_agg(df, p, ["conv_id"], "ts_ms", "value",
+                          window_ms=5000, bucket_ms=10_000).collect()
+    assert len(got) == 3
+    by_ts = sorted((r.ts_ms, r.w_sum, r.w_cnt) for r in got)
+    assert by_ts == [(1000, 2.0, 2), (1000, 2.0, 2), (2000, 4.0, 3)]
+
+
+def test_preagg_timestamp_order_col_uses_milliseconds(spark):
+    """TimestampType order columns must resolve through epoch MS like
+    every window tier — a bare cast('long') reads SECONDS and made
+    frames 1000x too long."""
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 4_000, 2.0), ("a", 10_000, 4.0)],
+        ["conv_id", "ms", "value"]).select(
+        "conv_id", "value",
+        F.timestamp_millis(F.col("ms").cast("long")).alias("ts"))
+    p = build_preagg(df, ["conv_id"], "ts", "value", bucket_ms=2_000)
+    got = {r.value: (r.w_sum, r.w_cnt) for r in
+           long_window_agg(df, p, ["conv_id"], "ts", "value",
+                           window_ms=5_000, bucket_ms=2_000).collect()}
+    # [t-5s, t]: value=2.0 sees rows at 0 and 4000; 4.0 sees only itself
+    assert got[2.0] == (3.0, 2)
+    assert got[4.0] == (4.0, 1)
+
+
+def test_preagg_sparse_key_no_densification(spark):
+    """A key with events years apart at small buckets must not
+    materialize a per-key sequence() spanning the gap (the old
+    densified layout exploded); partials stay one-row-per-occupied
+    bucket and results stay exact."""
+    y = 365 * 86_400_000
+    df = spark.createDataFrame(
+        [("a", 1_000, 1.0), ("a", 4 * y, 2.0), ("a", 4 * y + 1_500, 3.0)],
+        ["conv_id", "ts_ms", "value"])
+    p = build_preagg(df, ["conv_id"], "ts_ms", "value", bucket_ms=1_000)
+    assert p.count() == 3          # occupied buckets only
+    got = {r.value: (r.w_sum, r.w_cnt) for r in
+           long_window_agg(df, p, ["conv_id"], "ts_ms", "value",
+                           window_ms=2_000, bucket_ms=1_000).collect()}
+    assert got[1.0] == (1.0, 1)
+    assert got[2.0] == (2.0, 1)
+    assert got[3.0] == (5.0, 2)

@@ -65,3 +65,42 @@ def test_request_history_pruning_preserves_results(spark, sf_dir):
                          prune_history=False).toPandas().sort_values(KEY)
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_rows_merge_frame_not_starved_by_time_pruning(spark):
+    """rows_merge_rows_range keeps a rows_preceding floor that admits
+    history OLDER than the time depth — pruning must not starve it
+    (pruned and unpruned paths must agree)."""
+    spec = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
+                      frame="rows_merge_rows_range", preceding="1h",
+                      rows_preceding=5, tiebreak=("turn_idx",))
+    aggs = [Agg("sum", "value", "s"), Agg("count", "value", "c")]
+    # history ends 3h before the request ts — outside the 1h time depth
+    base = 1_000_000_000
+    hist = spark.createDataFrame(
+        [("c", i, base + i * 1000, float(i + 1)) for i in range(6)],
+        ["conv_id", "turn_idx", "ts_ms", "value"])
+    req = spark.createDataFrame(
+        [("c", 99, base + 3 * 3_600_000, 100.0)],
+        ["conv_id", "turn_idx", "ts_ms", "value"])
+    pruned = request_features(req, hist, spec, aggs, keep_cols=KEY,
+                              prune_history=True).collect()
+    full = request_features(req, hist, spec, aggs, keep_cols=KEY,
+                            prune_history=False).collect()
+    assert [(r.s, r.c) for r in pruned] == [(r.s, r.c) for r in full]
+    assert full[0].c > 1    # the rows floor DID admit old history
+
+
+def test_prune_path_accepts_case_insensitive_order_col(spark):
+    """window_agg resolves TS == ts case-insensitively; the pruning
+    pre-pass must accept the same specs instead of raising."""
+    import dataclasses
+    spec = dataclasses.replace(SPEC, order_by="TS_MS")
+    rows = [("c", i, 1_000_000 + i * 1000, float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts_ms", "value"])
+    req = df.where(F.col("turn_idx") == 7)
+    hist = df.where(F.col("turn_idx") != 7)
+    out = request_features(req, hist, spec,
+                           [Agg("count", "value", "c")],
+                           keep_cols=KEY, prune_history=True).collect()
+    assert len(out) == 1 and out[0].c == 8

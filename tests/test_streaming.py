@@ -205,3 +205,47 @@ def test_stateful_running_features_matches_batch(spark, sf_dir, tmp_path):
     # batches; with this deterministic file split the per-conv order holds
     mismatches = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+def test_straggler_fold_keeps_last_ts_monotonic():
+    """A late row folded against newer carried state must not regress
+    the carried last_ts: the next on-time row within the gap of the
+    TRUE newest event would otherwise get a spurious session break."""
+    import numpy as np
+    from openmldb_spark.streaming.stateful import _fold_arrays
+
+    carry = (10_000, 3, 5.0, 2, 1.5)          # last_ts=10000, session 3
+    out, carry2 = _fold_arrays(
+        "c", np.array([1_000], dtype=np.int64),
+        np.array([7], dtype=np.int64),
+        np.array([2.0]), carry, gap_ms=5_000)
+    assert carry2[0] == 10_000                 # monotonic, not 1000
+    out2, carry3 = _fold_arrays(
+        "c", np.array([12_000], dtype=np.int64),
+        np.array([8], dtype=np.int64),
+        np.array([1.0]), carry2, gap_ms=5_000)
+    # 12000 - 10000 = 2000 <= gap: SAME session, no spurious break
+    assert out2["session_id"].iloc[0] == carry2[1]
+
+
+def test_stream_null_order_keys_dropped_not_crash(spark, tmp_path):
+    """A null ts_ms/turn_idx row must be dropped like the batch tiers
+    drop null order keys — not crash the int64 conversion."""
+    from openmldb_spark.streaming.stateful import stream_running_features
+    src = str(tmp_path / "null_src")
+    spark.createDataFrame(
+        [("c1", 0, 1_000, 1.0), ("c1", None, 2_000, 9.0),
+         ("c1", 1, None, 9.0), ("c1", 2, 3_000, 2.0)],
+        "conv_id string, turn_idx int, ts_ms long, value double"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_running_features(stream, gap_ms=300_000)
+        .writeStream.format("memory").queryName("null_keys")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.turn_idx: r.run_sum
+           for r in spark.table("null_keys").collect()}
+    assert got == {0: 1.0, 2: 3.0}
