@@ -318,6 +318,12 @@ def _check_index(body: str, col_types: dict):
                 f"index ts column {ts!r} has type {col_types[ts]} "
                 f"(needs timestamp or bigint)")
     _check_ttl(opts.get("ttl"), opts.get("ttl_type"))
+    # an EXPLICITLY empty key (`CREATE INDEX i ON t ()` → key=()) is
+    # rejected; a keyless `index(ts=c4)` is legal and auto-keys
+    # (test_create.yaml id 14, success: true)
+    if "key" in opts and not [x for x in (keys or "").split(",")
+                              if x.strip()]:
+        raise DdlError("index has no key column")
     return opts
 
 
@@ -424,17 +430,30 @@ def parse_create_table(stmt: str) -> dict:
         raise DdlError("not a CREATE TABLE statement")
     name = m.group("name")
     _check_table_name(name)
+    # quote-aware paren matching: a DEFAULT literal may contain ')' or
+    # ',' (`default 'a)b'`) — a quote-blind scan truncates the body or
+    # splits mid-literal
     start = stmt.index("(", m.end() - 1)
-    depth, j = 0, start
+    depth, j, quote, esc = 0, start, None, False
     while j < len(stmt):
-        if stmt[j] == "(":
+        ch = stmt[j]
+        if quote:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
             depth += 1
-        elif stmt[j] == ")":
+        elif ch == ")":
             depth -= 1
             if depth == 0:
                 break
         j += 1
-    if depth != 0:
+    if depth != 0 or quote is not None:
         raise DdlError("unbalanced parens in CREATE TABLE")
     body = stmt[start + 1:j]
     tail = stmt[j + 1:].strip().rstrip(";").strip()
@@ -445,10 +464,21 @@ def parse_create_table(stmt: str) -> dict:
             raise DdlError(f"trailing clause {tail!r}")
         options = _check_options(om.group(1))
 
-    # split body at depth-0 commas
-    items, depth, cur = [], 0, []
+    # split body at depth-0 commas (quote-aware, same reason)
+    items, depth, cur, quote, esc = [], 0, [], None, False
     for ch in body:
-        if ch == "(":
+        if quote:
+            cur.append(ch)
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -504,10 +534,14 @@ def parse_create_table(stmt: str) -> dict:
 
 
 def create_table(spark, stmt: str, tables: dict | None = None):
-    """Parse + register: returns (name, empty DataFrame). Rejects a name
-    already bound in `tables` (test_create.yaml id 26)."""
+    """Parse + register: returns (name, DataFrame) — the bound frame
+    unchanged for an IF NOT EXISTS no-op, else a new empty frame.
+    Rejects a bound name without IF NOT EXISTS (test_create.yaml
+    id 26)."""
     spec = parse_create_table(stmt)
     if tables is not None and spec["name"] in tables:
+        if spec["if_not_exists"]:
+            return spec["name"], tables[spec["name"]]
         raise DdlError(f"table {spec['name']!r} already exists")
     return spec["name"], spark.createDataFrame([], spec["schema"])
 
@@ -615,14 +649,26 @@ def _coerce(value, kind, field: T.StructField):
         raise DdlError(
             f"literal kind {kind} into {typ} column {field.name!r}")
     if typ == "timestamp":
-        if kind == "string":
-            return datetime.datetime.fromisoformat(str(value))
-        ms = int(value)
-        return datetime.datetime.utcfromtimestamp(ms // 1000).replace(
-            microsecond=(ms % 1000) * 1000)
+        try:
+            if kind == "string":
+                return datetime.datetime.fromisoformat(str(value))
+            ms = int(value)
+            return datetime.datetime.utcfromtimestamp(ms // 1000).replace(
+                microsecond=(ms % 1000) * 1000)
+        except (ValueError, OverflowError, OSError) as e:
+            # keep the module's DdlError contract — a malformed literal
+            # must not leak a bare ValueError/OverflowError to callers
+            raise DdlError(
+                f"invalid timestamp literal {value!r} for column "
+                f"{field.name!r}: {e}") from e
     if typ == "date":
-        y, mo, d = (int(p) for p in str(value).strip().split("-"))
-        return datetime.date(y, mo, d)
+        try:
+            y, mo, d = (int(p) for p in str(value).strip().split("-"))
+            return datetime.date(y, mo, d)
+        except ValueError as e:
+            raise DdlError(
+                f"invalid date literal {value!r} for column "
+                f"{field.name!r}: {e}") from e
     if typ in ("smallint", "int", "bigint"):
         return int(value)
     if typ in ("float", "double"):
@@ -700,6 +746,11 @@ def _split_values(vals: str) -> list[list[str]]:
             quote = ch
         if depth >= 1:
             cur_tok.append(ch)
+        elif ch != "," and not ch.isspace() and ch != ";":
+            # only ',' and whitespace are legal between row tuples —
+            # stray tokens are a syntax error, not silently dropped
+            raise DdlError(
+                f"unexpected {ch!r} between INSERT VALUES rows")
     if depth != 0 or quote is not None:
         raise DdlError("unbalanced parens or quotes in INSERT VALUES")
     return rows
@@ -739,6 +790,10 @@ def insert_into(spark, stmt: str, tables: dict, params=None,
     for c in cols:
         if c not in fields:
             raise DdlError(f"column {c!r} does not exist in {tname!r}")
+    if len(set(cols)) != len(cols):
+        # the reference rejects a duplicated insert column; silently
+        # letting the last value win would NULL the unlisted columns
+        raise DdlError(f"duplicate column in INSERT column list: {cols}")
     # NOT NULL columns must be present in the column list — unless a
     # DEFAULT covers them (test_insert.yaml id 8)
     missing_nn = [f.name for f in prior.schema.fields
@@ -747,19 +802,41 @@ def insert_into(spark, stmt: str, tables: dict, params=None,
     if missing_nn:
         raise DdlError(f"NOT NULL column(s) {missing_nn} not inserted")
     out_rows = []
+    # ? placeholders bind SEQUENTIALLY across the whole statement (a
+    # per-row iter restart would bind row 1's params to every row of a
+    # multi-row prepared INSERT and silently ignore the rest)
+    pi = iter(params) if params is not None else None
+    had_params = False
     for r in rows:
         if len(r) != len(cols):
             raise DdlError(
                 f"INSERT row has {len(r)} values for {len(cols)} columns")
-        if params is not None and any(k == "param" for _, k in r):
-            pi = iter(params)
-            r = [((next(pi), "param") if k == "param" else (v, k))
-                 for v, k in r]
+        if pi is not None and any(k == "param" for _, k in r):
+            had_params = True
+            bound = []
+            for v, k in r:
+                if k == "param":
+                    try:
+                        bound.append((next(pi), "param"))
+                    except StopIteration:
+                        raise DdlError(
+                            "not enough parameters for INSERT "
+                            "placeholders") from None
+                else:
+                    bound.append((v, k))
+            r = bound
         vals = {c: _coerce(v, k, fields[c])
                 for c, (v, k) in zip(cols, r)}
         for f in prior.schema.fields:
             if f.name not in vals and f.name in defaults:
                 vals[f.name] = defaults[f.name]
         out_rows.append([vals.get(f.name) for f in prior.schema.fields])
+    if had_params and pi is not None:
+        try:
+            next(pi)
+        except StopIteration:
+            pass
+        else:
+            raise DdlError("too many parameters for INSERT placeholders")
     appended = spark.createDataFrame(out_rows, prior.schema)
     return tname, prior.unionByName(appended)

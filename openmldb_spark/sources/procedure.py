@@ -205,16 +205,21 @@ def _coerce(v, typ: str):
 
 def _request_df(spark, args, input_rows, common_cols):
     consts = [a for a in args if a[2]]
-    if consts:
-        if common_cols is None or len(common_cols) != len(consts):
+    # const args and no separate common_cols = the SDK callproc shape:
+    # each input row carries the FULL argument list with const values
+    # inline (the restful path splits them out into common_cols)
+    full_row_mode = bool(consts) and common_cols is None
+    if consts and not full_row_mode:
+        if len(common_cols) != len(consts):
             raise ProcedureError(
                 f"expected {len(consts)} common column values, got "
-                f"{'none' if common_cols is None else len(common_cols)}")
-    elif common_cols:
+                f"{len(common_cols)}")
+    elif not consts and common_cols:
         # no const args declared, but values supplied — the server
         # rejects ("Invalid common cols size", execute_procedure case 6)
         raise ProcedureError("Invalid common cols size")
-    n_per_row = len(args) - len(consts) if consts else len(args)
+    n_per_row = len(args) if full_row_mode or not consts \
+        else len(args) - len(consts)
     rows = []
     for r in input_rows or []:
         if not isinstance(r, (list, tuple)) or len(r) != n_per_row:
@@ -223,7 +228,8 @@ def _request_df(spark, args, input_rows, common_cols):
                 f"!= expected {n_per_row}")
         it = iter(r)
         ci = iter(common_cols or [])
-        full = [_coerce(next(ci) if (a[2] and consts) else next(it), a[1])
+        full = [_coerce(next(ci) if (a[2] and not full_row_mode)
+                        else next(it), a[1])
                 for a in args]
         rows.append(full)
     if not rows:
@@ -238,8 +244,13 @@ def execute_procedure(spark, name: str, procedures: dict, tables: dict,
     """CallProcedure: run the procedure body in batch-request mode over
     the stored tables. Returns the full-width output DataFrame (the
     restful layer splits output_common_cols out of each row)."""
-    from openmldb_spark.sqlfe import run_sql_request
+    from openmldb_spark.sqlfe import run_sql, run_sql_request
     p = get_procedure(name, procedures)
+    if p["main"] is None:
+        # zero-arg, table-less procedure (plan/create.yaml id 18:
+        # `CREATE PROCEDURE p() BEGIN SELECT 1; END`): no request table
+        # to thread — evaluate the body once
+        return run_sql(spark, p["body"], tables)
     req = _request_df(spark, p["args"], input_rows, common_cols)
     return run_sql_request(spark, p["body"], tables, req, p["main"])
 

@@ -160,8 +160,13 @@ def put_table_row(spark, method: str, uri: str, body,
         raise RestfulError("fail to make a put request to table.")
     if not isinstance(body, str):
         raise RestfulError("Json parse failed, error code: 1")
+    def _no_const(tok):
+        # rapidjson (no kParseNanAndInfFlag) rejects NaN/Infinity where
+        # Python's json accepts them; error code 3 = kParseErrorValueInvalid
+        raise RestfulError("Json parse failed, error code: 3")
+
     try:
-        doc = json.loads(body)
+        doc = json.loads(body, parse_constant=_no_const)
     except json.JSONDecodeError as e:
         raise RestfulError(
             f"Json parse failed, error code: {_rapidjson_code(body, e)}") \
