@@ -31,12 +31,17 @@ FORMATS = ("csv", "parquet")
 
 @dataclass
 class OfflineTableInfo:
-    """Analog of the reference's OfflineTableInfo (LoadDataPlan.scala:66-117)."""
+    """Analog of the reference's OfflineTableInfo (LoadDataPlan.scala:66-117).
+
+    ``schema``: the table schema a soft-copy csv registration resolved
+    at load time (explicit or inferred ONCE) — without it every
+    Catalog.table() read would come back all-StringType."""
     name: str
     path: str
     fmt: str = "parquet"
     options: dict = field(default_factory=dict)
     deep_copy: bool = True
+    schema: T.StructType | None = None
 
 
 class Catalog:
@@ -65,22 +70,34 @@ class Catalog:
         if fmt == "csv":
             opts.setdefault("header", "true")
             opts.setdefault("nullValue", "null")
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if not deep_copy:
+            # soft copy registers (path, fmt, opts) — no data rewrite
+            # and NO eager scan. The schema still has to survive into
+            # table() reads: explicit schema recorded as-is; a csv
+            # without one runs inference ONCE here (table() would
+            # otherwise read all-StringType every time)
+            if schema is None and fmt == "csv":
+                schema = (self.spark.read.format(fmt).options(**opts)
+                          .option("inferSchema", "true").load(path).schema)
+            info = OfflineTableInfo(name, path, fmt, opts, False,
+                                    schema=schema)
+            self.tables[name] = info
+            return info
+
         reader = self.spark.read.format(fmt).options(**opts)
         if schema is not None:
             reader = reader.schema(schema)
         elif fmt == "csv":
             reader = reader.option("inferSchema", "true")
         df = reader.load(path)
-
-        if deep_copy:
-            dest = os.path.join(self.offline_prefix, name)
-            w = df.write.mode(mode)
-            if partition_by:
-                w = w.partitionBy(*partition_by)
-            w.parquet(dest)
-            info = OfflineTableInfo(name, dest, "parquet", {}, True)
-        else:
-            info = OfflineTableInfo(name, path, fmt, opts, False)
+        dest = os.path.join(self.offline_prefix, name)
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(dest)
+        info = OfflineTableInfo(name, dest, "parquet", {}, True)
         self.tables[name] = info
         return info
 
@@ -88,10 +105,10 @@ class Catalog:
         """DataProvider: resolve a registered table to a DataFrame
         (DataProviderPlan.scala:27-38)."""
         info = self.tables[name]
-        return (
-            self.spark.read.format(info.fmt).options(**info.options)
-            .load(info.path)
-        )
+        reader = self.spark.read.format(info.fmt).options(**info.options)
+        if info.schema is not None:
+            reader = reader.schema(info.schema)
+        return reader.load(info.path)
 
     def register_df(self, name: str, df: DataFrame,
                     partition_by: list[str] | None = None) -> OfflineTableInfo:
@@ -152,6 +169,11 @@ def _write_single_csv(df: DataFrame, path: str, opts: dict,
     exists = os.path.exists(path)
     if exists and mode in ("error", "errorifexists"):
         raise FileExistsError(f"{path} already exists (mode=error_if_exists)")
+    if exists and mode == "ignore":
+        return                     # Spark ignore = no-op, never truncate
+    # NOTE: append with header=true writes a SECOND header line mid-file
+    # — that is the reference exporter's pinned behavior (out_in corpus
+    # id 11 cat: expectation lists the repeated header), not a bug here
     parent = os.path.dirname(os.path.abspath(path))
     if not os.path.isdir(parent):
         raise FileNotFoundError(f"output directory {parent} does not exist")
@@ -167,7 +189,9 @@ def _write_single_csv(df: DataFrame, path: str, opts: dict,
         # them raw (and a later LOAD fails on the shifted columns,
         # out_in corpus id 34), so unwrap ONLY the NUL quote wrappers
         # (a legitimate NUL byte inside field data survives)
-        raw = opts.get("quote") == "\u0000"
+        # Spark CSVOptions maps an EMPTY quote string to NUL too --
+        # an empty quote option must unwrap like the default NUL quote
+        raw = opts.get("quote") in ("\u0000", "")
         sep = str(opts.get("sep", opts.get("delimiter", ","))).encode()
         write_mode = "ab" if (exists and mode == "append") else "wb"
         with open(path, write_mode) as out:
@@ -195,6 +219,12 @@ def _unwrap_nul_quotes(data: bytes, sep: bytes) -> bytes:
         if in_quote:
             if b == 0x5C and i + 1 < n and data[i + 1] == 0:
                 out.append(0)
+                i += 2
+            elif b == 0x5C and i + 1 < n and data[i + 1] == 0x5C:
+                # univocity escapes the escape char inside a quoted
+                # field (charToEscapeQuoteEscaping defaults to the
+                # escape char): \\ decodes to one literal backslash
+                out.append(0x5C)
                 i += 2
             elif b == 0:
                 if i + 1 < n and data[i + 1] == 0:
@@ -296,7 +326,27 @@ def _parse_stmt_options(text: str | None) -> dict:
     out = {}
     if not text or not text.strip():
         return out
-    for kv in _re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", text):
+    # split on commas outside BOTH quote kinds (the value grammar below
+    # accepts single- and double-quoted strings; a lookahead aware of
+    # only one kind splits inside the other — delimiter="," broke)
+    parts, cur, quote = [], [], None
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+            continue
+        if ch == ",":
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    for kv in parts:
         m = _re.fullmatch(r"\s*(\w+)\s*=\s*(.+?)\s*", kv, _re.DOTALL)
         if not m:
             raise ValueError(f"malformed option {kv!r}")
@@ -356,7 +406,33 @@ def _read_with_schema(spark, path, fmt, opts, schema: T.StructType):
     import pyspark.sql.functions as F
 
     if fmt != "csv":
-        return spark.read.format(fmt).options(**opts).load(path)
+        # parquet: the file's column NAMES must match the table's, and
+        # each column must either match the declared type or be a
+        # bigint epoch-ms for a timestamp column
+        # (HybridseUtil.parseLongTsCols) — an unvalidated raw read would
+        # crash append-unions or silently rebind the table to an
+        # arbitrary schema on overwrite
+        df = spark.read.format(fmt).options(**opts).load(path)
+        names = [f.name for f in schema.fields]
+        if list(df.columns) != names:
+            raise ValueError(
+                f"{fmt} columns {list(df.columns)} do not match table "
+                f"columns {names}")
+        cols = []
+        for f in schema.fields:
+            have = df.schema[f.name].dataType
+            if have == f.dataType:
+                cols.append(F.col(f.name))
+            elif isinstance(f.dataType, T.TimestampType) and \
+                    isinstance(have, (T.LongType, T.IntegerType)):
+                cols.append(F.timestamp_millis(
+                    F.col(f.name).cast("long")).alias(f.name))
+            else:
+                raise ValueError(
+                    f"{fmt} column {f.name!r} has type "
+                    f"{have.simpleString()}, table declares "
+                    f"{f.dataType.simpleString()}")
+        return df.select(*cols)
     if str(opts.get("header", "true")).lower() == "true":
         sep = opts.get("sep", ",")
         head = spark.read.text(path).limit(1).collect()
@@ -374,10 +450,19 @@ def _read_with_schema(spark, path, fmt, opts, schema: T.StructType):
     df = spark.read.format(fmt).options(**opts).option("mode", "FAILFAST") \
         .schema(read_schema).load(path)
     for c in ts_cols:
-        df = df.withColumn(c, F.when(
+        conv = F.when(
             F.col(c).rlike(r"^\d+$"),
             F.timestamp_millis(F.col(c).cast("long"))
-        ).otherwise(F.to_timestamp(F.col(c))))
+        ).otherwise(F.to_timestamp(F.col(c)))
+        # fail AT LOAD TIME on unparseable values regardless of ANSI
+        # mode (with ANSI off to_timestamp silently NULLs garbage; the
+        # corpus requires a load error — ids 22/25/34)
+        df = df.withColumn(c, F.when(
+            F.col(c).isNotNull() & conv.isNull(),
+            F.raise_error(F.concat(
+                F.lit(f"malformed timestamp for column {c}: "),
+                F.col(c))).cast("timestamp"),
+        ).otherwise(conv))
     return df
 
 
@@ -519,6 +604,17 @@ def run_statement(spark, stmt: str, tables: dict,
         prior = tables[name]
         df = _read_with_schema(spark, resolve(m.group("path")), fmt,
                                opts, prior.schema)
+        if deep is False:
+            # soft copy registers the SOURCE path: the table becomes the
+            # lazy read (later file changes stay visible), nothing is
+            # rewritten and no eager validation job runs. The reference
+            # rejects append for soft copies (LoadDataPlan: a soft copy
+            # cannot add to existing offline data)
+            if mode == "append":
+                raise ValueError(
+                    "deep_copy=false does not support mode=append")
+            tables[name] = df
+            return None
         # a LOAD is an eager job in the reference — malformed input must
         # fail AT LOAD TIME (FAILFAST), not when a later query happens
         # to scan the table (out_in corpus ids 22/25/34). count() would
