@@ -8,8 +8,10 @@ Parity notes (reference file:line):
   filled from tuple/dict parameters, SELECT (plain / parameterized via
   tuple / request-mode via dict), everything else through the
   statement executor (dbapi.py:243-288)
-- tuple-insert arity check uses the RAW '?' count of the SQL text
-  ("parameters is not enough", dbapi.py:247-249)
+- tuple-insert arity check uses the hole count OUTSIDE string literals
+  ("parameters is not enough", dbapi.py:247-249 — the reference counts
+  raw '?', which miscounts question marks inside literals and misbinds;
+  we deliberately diverge to the quote-aware count)
 - dict-insert refuses missing columns ("col {} data not given"),
   NULL into NOT NULL ("column seq {} not allow null") and non-str for
   string columns ("{} vale type is not str" — the reference's typo is
@@ -139,8 +141,10 @@ def _lit(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, datetime.datetime):
-        return str(int(v.replace(tzinfo=datetime.timezone.utc)
-                       .timestamp() * 1000))
+        # naive = driver-local, the same convention epoch_ms uses on the
+        # read side (and the reference SDK's data.timestamp()*1000);
+        # stamping tzinfo=UTC would shift writes on a non-UTC driver
+        return str(epoch_ms(v))
     if isinstance(v, datetime.date):
         return f"'{v.isoformat()}'"
     if isinstance(v, (int, float)):
@@ -183,6 +187,23 @@ def _fill_holes(sql: str, literals: list[str]) -> str:
             out.append(ch)
         i += 1
     return "".join(out)
+
+
+def _count_holes(sql: str) -> int:
+    """Number of '?' holes OUTSIDE string literals — the count
+    _fill_holes actually fills. A raw str.count('?') would also count
+    question marks inside literals ('n/a?'), demand phantom parameters
+    and silently shift every later binding by one."""
+    count, i, n = 0, 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"":
+            i = _skip_str(sql, i)
+            continue
+        if ch == "?":
+            count += 1
+        i += 1
+    return count
 
 
 def _insert_hole_columns(command: str, schema) -> list:
@@ -256,7 +277,13 @@ class Cursor:
     # ------------------------------------------------------------------
     def _pre_process_result(self, df):
         if df is None:
+            # a statement with no result set CLEARS the previous one —
+            # fetch* after a DDL/INSERT must not replay stale rows
             self.rowcount = 0
+            self._rows = None
+            self._schema = None
+            self._pos = 0
+            self.description = None
             return
         self._schema = df.schema
         self._rows = [tuple(r) for r in df.collect()]
@@ -296,8 +323,10 @@ class Cursor:
         if command is None:
             raise Exception("None operation")
         if _INSERT_RE.match(command):
-            # arity check against the RAW '?' count, like the reference
-            question_marks = command.count("?")
+            # arity against the REAL hole count (outside string
+            # literals) — the raw count the reference uses would demand
+            # phantom params for '?' inside literals and misbind
+            question_marks = _count_holes(command)
             if question_marks > 0:
                 # the reference applies the arity check to tuples AND
                 # dicts before any per-column dispatch (dbapi.py:247-249)
@@ -312,6 +341,7 @@ class Cursor:
                         "error at append data for unsupported type")
                 command = _fill_holes(command, lits)
             self._exec_stmt(command)
+            self._pre_process_result(None)
             return None
         if _SELECT_RE.match(command):
             if isinstance(parameters, tuple) and len(parameters) > 0:
@@ -450,16 +480,35 @@ class Cursor:
         command = operation.strip(" \t\n\r") if operation else None
         if command is None:
             raise Exception("None operation")
-        if command.count("?") == 0:
+        if _count_holes(command) == 0:
             return self.execute(operation, parameters)
         if isinstance(parameters, list) and len(parameters) == 0:
             return self.execute(operation, parameters)
         if not _INSERT_RE.match(command):
             raise DatabaseError("unsupport sql")
-        for row in parameters:
-            self.execute(operation,
-                         row if isinstance(row, (tuple, dict))
-                         else tuple(row))
+        rows = list(parameters)
+        if any(isinstance(r, dict) for r in rows):
+            # dict rows need per-row column dispatch
+            for row in rows:
+                self.execute(operation,
+                             row if isinstance(row, (tuple, dict))
+                             else tuple(row))
+            return None
+        # qmark rows batch into multi-row INSERT VALUES statements of
+        # batch_number rows each (one engine statement per batch, not
+        # per row); placeholders bind sequentially across the statement
+        m = re.search(r"(?is)\bvalues\s*(\(.*\))\s*;?\s*$", command)
+        if not m:
+            for row in rows:
+                self.execute(operation, tuple(row))
+            return None
+        head = command[:m.start(1)]
+        tuple_txt = m.group(1).rstrip().rstrip(";").strip()
+        for i in range(0, len(rows), batch_number):
+            chunk = [tuple(r) for r in rows[i:i + batch_number]]
+            stmt = head + ", ".join([tuple_txt] * len(chunk))
+            flat = tuple(v for r in chunk for v in r)
+            self.execute(stmt, flat)
         return None
 
     # ------------------------------------------------------------------
@@ -481,6 +530,7 @@ class Cursor:
 
     # ------------------------------------------------------------------
     def fetchone(self):
+        self._check()
         if self._rows is None:
             raise DatabaseError("query data failed")
         if self._pos >= len(self._rows):

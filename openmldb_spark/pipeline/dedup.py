@@ -62,8 +62,14 @@ def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: one survivor (min id) per distinct key tuple.
 
     Returns (digest, keep_id, dup_cnt). At scale: single shuffle on the
-    digest; partial aggregation map-side."""
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    digest; partial aggregation map-side. NULL-safe: each column is
+    null-flagged before hashing — concat_ws silently DROPS null args,
+    which would collide (NULL,'x') with ('x',NULL) and merge distinct
+    key tuples as duplicates."""
+    digest = F.md5(F.concat_ws("\x1f", *[
+        F.when(F.col(c).isNull(), F.lit("\x00"))
+        .otherwise(F.concat(F.lit("\x01"), F.col(c).cast("string")))
+        for c in cols]))
     return (
         df.select(digest.alias("digest"), F.col(id_col))
         .groupBy("digest")
@@ -83,7 +89,13 @@ def minhash_signatures(
     'xxhash64' (64-bit ints — the production path)."""
     toks = tokens_col(F.col(text_col))
     sh = shingles_col(toks, shingle_k)
-    out = df.select(F.col(id_col), sh.alias("shingles"))
+    # drop docs with no shingles (NULL/empty/short text): their sigN
+    # are all NULL, every such doc would share ONE band-hash bucket
+    # (md5(''), since concat_ws drops NULLs) and the band self-join
+    # would go quadratic in their count — all pairs later discarded by
+    # the NULL-jaccard filter anyway
+    out = df.select(F.col(id_col), sh.alias("shingles")) \
+        .where(F.size("shingles") > 0)
     for s in range(n_hashes):
         out = out.withColumn(
             f"sig{s}",
@@ -121,11 +133,21 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(ensure_parallelism(df), text_col, id_col,
                               n_hashes, shingle_k, hash_fn)
     if materialize == "parquet":
-        import atexit
-        import shutil
-        import tempfile
-        path = tempfile.mkdtemp(prefix="minhash_sigs_")
-        atexit.register(shutil.rmtree, path, True)
+        import os
+        import uuid
+        # scratch root: SPARK_GRAFT_SCRATCH (a shared-FS/HDFS/S3 URI on
+        # a real cluster — a driver-local tempdir is only valid in
+        # local mode, where driver and executors share a disk), else
+        # the local tmpdir with best-effort cleanup
+        root = os.environ.get("SPARK_GRAFT_SCRATCH")
+        if root:
+            path = f"{root.rstrip('/')}/minhash_sigs_{uuid.uuid4().hex}"
+        else:
+            import atexit
+            import shutil
+            import tempfile
+            path = tempfile.mkdtemp(prefix="minhash_sigs_")
+            atexit.register(shutil.rmtree, path, True)
         sigs.write.mode("overwrite").parquet(path)
         sigs = df.sparkSession.read.parquet(path)
     elif materialize != "none":
@@ -212,6 +234,10 @@ def ngram_jaccard_pairs(
 
 _SIMHASH_BITS = 64
 
+# last persisted signature table per session (bounded cache — see
+# simhash_near_pairs)
+_SIMHASH_CACHE: dict = {}
+
 
 def simhash(df: DataFrame, text_col: str, id_col: str,
             hash_fn: str = "blake2b") -> DataFrame:
@@ -279,9 +305,20 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     n_chunks = min(32, max(2, max_hamming + 1))
     bounds = [(i * _SIMHASH_BITS // n_chunks,
                (i + 1) * _SIMHASH_BITS // n_chunks) for i in range(n_chunks)]
-    # both self-join sides reuse the signatures: compute the UDF once
+    # both self-join sides reuse the signatures: compute the UDF once.
+    # The cache is BOUNDED to one table per session — each call
+    # unpersists the previous call's signatures, so parameter sweeps
+    # don't accumulate pinned executor storage
     sigs = simhash(ensure_parallelism(df), text_col, id_col,
                    hash_fn=hash_fn).persist()
+    sess_key = id(df.sparkSession)
+    prev = _SIMHASH_CACHE.pop(sess_key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _SIMHASH_CACHE[sess_key] = sigs
     sigs.count()
     chunks = sigs.select(
         id_col, "simhash",

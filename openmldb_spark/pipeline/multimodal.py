@@ -67,12 +67,20 @@ def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:
     return np.resize(buf, (h, w, 3))
 
 
+def _meta_int(m, key, default: int) -> int:
+    """A meta struct FIELD can be null even when the struct isn't —
+    int(None) would abort the whole Arrow stage."""
+    if m is None:
+        return default
+    v = m[key]
+    return default if v is None or (isinstance(v, float) and np.isnan(v)) \
+        else int(v)
+
+
 def _meta_wh(metas) -> tuple[np.ndarray, np.ndarray]:
     """Extract (width, height) arrays from a meta struct column."""
-    w = np.array([int(m["width"]) if m is not None else 8 for m in metas],
-                 dtype=np.int64)
-    h = np.array([int(m["height"]) if m is not None else 8 for m in metas],
-                 dtype=np.int64)
+    w = np.array([_meta_int(m, "width", 8) for m in metas], dtype=np.int64)
+    h = np.array([_meta_int(m, "height", 8) for m in metas], dtype=np.int64)
     return w, h
 
 
@@ -166,8 +174,8 @@ def resize(df: DataFrame, out_w: int, out_h: int,
             # per-image); bookkeeping stays columnar via zip, not iterrows
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
                                           pdf["meta"]):
-                w = int(meta["width"] if meta is not None else 8)
-                h = int(meta["height"] if meta is not None else 8)
+                w = _meta_int(meta, "width", 8)
+                h = _meta_int(meta, "height", 8)
                 px = _fake_decode(payload, w, h)
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
@@ -201,7 +209,7 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
             # per-item loop is intrinsic (real frame extraction is per-video)
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
                                           pdf["meta"]):
-                dur = int(meta["duration_ms"] if meta is not None else 0)
+                dur = _meta_int(meta, "duration_ms", 0)
                 payload = payload or b""
                 n = max(1, dur // every_ms)
                 for i in range(int(n)):

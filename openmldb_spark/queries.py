@@ -842,8 +842,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = """
-SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
-FROM documents GROUP BY md5(text)
+-- null-flag prefix mirrors dedup_exact's NULL-safe digest encoding
+-- (chr(1) || value, NULL -> chr(0)); single key column so no joiner
+SELECT md5(CASE WHEN text IS NULL THEN chr(0) ELSE chr(1) || text END)
+         AS digest,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+FROM documents
+GROUP BY 1
 """
 
 
