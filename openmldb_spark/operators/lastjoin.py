@@ -45,7 +45,21 @@ def last_join(
     must be pre-aliased by the caller if they collide)."""
     left_on = list(spec.left_on)
     right_on = list(spec.right_on or spec.left_on)
-    right_cols = right_cols or [c for c in right.columns if c not in right_on]
+    if not left_on:
+        raise ValueError(
+            "last_join: left_on must name at least one equi key (for a "
+            "pure-residual join, add a constant key column to both sides)")
+    if len(left_on) != len(right_on):
+        raise ValueError(
+            f"last_join: left_on has {len(left_on)} keys but right_on "
+            f"has {len(right_on)} — a silent zip would join on fewer "
+            f"keys than specified")
+    if right_cols is None:
+        # default excludes the order column like asof_join_kernel
+        # excludes right_ts — it is already carried as __r_ord, and the
+        # raw name next to it makes residual conditions ambiguous
+        right_cols = [c for c in right.columns
+                      if c not in right_on and c != spec.order_by]
 
     if spec.order_by:
         # the reference rejects float/double/date/smallint LAST JOIN
@@ -102,7 +116,10 @@ def last_join(
     # nondeterministic, JoinPlan.scala:166-188; we pin it)
     order += [F.col(f"__rt_{c}").desc_nulls_last() for c in spec.tiebreak]
     if not order:
-        order = [F.lit(1)]
+        # unordered join with no declared tiebreak: pin determinism on
+        # the right VALUE columns (an orderBy(lit(1)) row_number keeps
+        # partition-arrival order — different per retry/partitioning)
+        order = [r[c].desc_nulls_last() for c in right_cols] or [F.lit(1)]
 
     w = Window.partitionBy(_RID).orderBy(*order)
     out = (
@@ -139,9 +156,10 @@ def asof_join_kernel(
     import pandas as pd
     import pyspark.sql.types as T
 
-    right_cols = right_cols or [
-        c for c in right.columns if c not in on and c != right_ts
-    ]
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in on and c != right_ts
+        ]
     missing_l = [c for c in [*on, left_ts] if c not in left.columns]
     missing_r = [c for c in [*on, right_ts, *right_cols]
                  if c not in right.columns]
@@ -149,6 +167,13 @@ def asof_join_kernel(
         raise ValueError(
             f"asof_join_kernel: missing columns left={missing_l} "
             f"right={missing_r}")
+    clash = [c for c in right_cols if c in left.columns]
+    if clash:
+        # merge_asof would suffix the right column and the final select
+        # would silently re-pick the LEFT column into the right slot
+        raise ValueError(
+            f"asof_join_kernel: right_cols {clash} collide with left "
+            f"columns — alias them on the right side first")
     # every field nullable: unmatched left rows carry null right columns
     out_schema = T.StructType(
         [T.StructField(f.name, f.dataType, True) for f in left.schema.fields]
@@ -159,23 +184,49 @@ def asof_join_kernel(
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(l_pdf) == 0:
             return pd.DataFrame(columns=left_cols + right_cols)
-        l_sorted = l_pdf.sort_values(left_ts, kind="stable")
-        if len(r_pdf) == 0:
-            res = l_sorted.copy()
+        # null timestamps: merge_asof raises on null merge keys — a
+        # null-ts left row is UNMATCHED (like last_join / the SQL
+        # lowering), a null-ts right row can never match
+        l_null = l_pdf[l_pdf[left_ts].isna()]
+        l_pdf = l_pdf[l_pdf[left_ts].notna()]
+        r_pdf = r_pdf[r_pdf[right_ts].notna()]
+
+        def unmatched(rows: pd.DataFrame) -> pd.DataFrame:
+            res = rows.copy()
             for c in right_cols:
                 res[c] = None
             return res
-        r_sorted = r_pdf.sort_values(right_ts, kind="stable")[[right_ts] + right_cols]
-        merged = pd.merge_asof(
-            l_sorted,
-            r_sorted,
-            left_on=left_ts,
-            right_on=right_ts,
-            direction="backward",
-            allow_exact_matches=allow_exact_matches,
-            suffixes=("", "__r"),
-        )
-        return merged[left_cols + right_cols]
+
+        if len(l_pdf) == 0:
+            return unmatched(l_null)
+        l_sorted = l_pdf.sort_values(left_ts, kind="stable")
+        if len(r_pdf) == 0:
+            out = unmatched(l_sorted)
+        else:
+            # sort equal-ts right rows by their value columns too: with
+            # duplicate timestamps merge_asof keeps the LAST sorted row,
+            # so the pick is the max value tuple — deterministic across
+            # retries/partitionings instead of cogroup arrival order
+            try:
+                r_sorted = r_pdf.sort_values(
+                    [right_ts, *right_cols],
+                    kind="stable")[[right_ts] + right_cols]
+            except TypeError:   # unsortable value type (array/binary)
+                r_sorted = r_pdf.sort_values(
+                    right_ts, kind="stable")[[right_ts] + right_cols]
+            merged = pd.merge_asof(
+                l_sorted,
+                r_sorted,
+                left_on=left_ts,
+                right_on=right_ts,
+                direction="backward",
+                allow_exact_matches=allow_exact_matches,
+                suffixes=("", "__r"),
+            )
+            out = merged[left_cols + right_cols]
+        if len(l_null):
+            out = pd.concat([out, unmatched(l_null)], ignore_index=True)
+        return out
 
     # explicit partition count: AQE size-based coalescing would serialize
     # the per-group Python merge (see window.py kernel note)

@@ -27,6 +27,7 @@ from openmldb_spark.operators.window import window_agg
 from openmldb_spark.operators.lastjoin import last_join, asof_join_kernel
 from openmldb_spark.operators.sessionize import sessionize, session_stats
 from openmldb_spark.transcripts import (
+    skewed_sql,
     transcripts_df,
     transcripts_sql,
     transcripts_updates_sql,
@@ -366,8 +367,7 @@ def q_window_skewed_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round3(out, ["sum_v", "sum_x"])
 
 
-SQL_WINDOW_SKEWED_TIES = __import__(
-    "openmldb_spark.transcripts", fromlist=["skewed_sql"]).skewed_sql(f"""
+SQL_WINDOW_SKEWED_TIES = skewed_sql(f"""
 SELECT t.conv_id, t.turn_idx,
        ROUND(SUM(CASE WHEN h.ts_ms < t.ts_ms
                        OR (h.ts_ms = t.ts_ms AND h.turn_idx <= t.turn_idx)

@@ -98,3 +98,75 @@ def test_simhash_cache_bounded_to_one_table(spark):
     second = dedup._SIMHASH_CACHE[id(spark)]
     assert second is not first
     assert first.storageLevel.useMemory is False    # unpersisted
+
+
+# ----------------------------------------------------------- lastjoin.py
+
+def test_asof_kernel_null_timestamps_unmatched_not_crash(spark):
+    from openmldb_spark.operators.lastjoin import asof_join_kernel
+    left = spark.createDataFrame(
+        [("c", 1000, 1), ("c", None, 2), ("c", 3000, 3)],
+        "k string, ts_ms long, lid int")
+    right = spark.createDataFrame(
+        [("c", 500, "a"), ("c", None, "zz"), ("c", 2500, "b")],
+        "k string, ts_ms long, cfg string")
+    got = {r.lid: r.cfg for r in asof_join_kernel(
+        left, right, on=["k"]).collect()}
+    # null-ts left row unmatched; null-ts right row never matches
+    assert got == {1: "a", 2: None, 3: "b"}
+
+
+def test_asof_kernel_rejects_colliding_right_cols(spark):
+    from openmldb_spark.operators.lastjoin import asof_join_kernel
+    left = spark.createDataFrame([("c", 1000, "x")],
+                                 "k string, ts_ms long, status string")
+    right = spark.createDataFrame([("c", 500, "y")],
+                                  "k string, ts_ms long, status string")
+    with pytest.raises(ValueError, match="collide with left"):
+        asof_join_kernel(left, right, on=["k"], right_cols=["status"])
+
+
+def test_asof_kernel_duplicate_ts_pick_deterministic(spark):
+    from openmldb_spark.operators.lastjoin import asof_join_kernel
+    left = spark.createDataFrame([("c", 1000, 1)],
+                                 "k string, ts_ms long, lid int")
+    right = spark.createDataFrame(
+        [("c", 500, "a"), ("c", 500, "z"), ("c", 500, "m")],
+        "k string, ts_ms long, cfg string")
+    for _ in range(3):
+        got = asof_join_kernel(left, right, on=["k"]).collect()
+        assert got[0].cfg == "z"        # max value tuple, every run
+
+
+def test_last_join_key_arity_and_empty_keys_raise(spark):
+    from openmldb_spark.operators.lastjoin import last_join
+    from openmldb_spark.plans.specs import LastJoinSpec
+    df = spark.createDataFrame([("c", 1)], "k string, v int")
+    with pytest.raises(ValueError, match="left_on must name"):
+        last_join(df, df, LastJoinSpec(left_on=[]))
+    with pytest.raises(ValueError, match="keys but right_on"):
+        last_join(df, df, LastJoinSpec(left_on=["k", "v"],
+                                       right_on=["k"]))
+
+
+def test_last_join_unordered_no_tiebreak_deterministic(spark):
+    from openmldb_spark.operators.lastjoin import last_join
+    from openmldb_spark.plans.specs import LastJoinSpec
+    left = spark.createDataFrame([("c", 1)], "k string, lid int")
+    right = spark.createDataFrame(
+        [("c", "a"), ("c", "z"), ("c", "m")], "k string, cfg string")
+    for _ in range(3):
+        got = last_join(left, right, LastJoinSpec(left_on=["k"])).collect()
+        assert got[0].cfg == "z"        # pinned on right value columns
+
+
+def test_last_join_explicit_empty_right_cols_respected(spark):
+    from openmldb_spark.operators.lastjoin import last_join
+    from openmldb_spark.plans.specs import LastJoinSpec
+    left = spark.createDataFrame([("c", 1)], "k string, lid int")
+    right = spark.createDataFrame([("c", 2, 99)],
+                                  "k string, ts_ms long, extra int")
+    out = last_join(left, right,
+                    LastJoinSpec(left_on=["k"], order_by="ts_ms"),
+                    right_cols=[])
+    assert out.columns == ["k", "lid"]
