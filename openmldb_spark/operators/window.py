@@ -138,7 +138,12 @@ def _fill_agg_types(a: Agg, in_fields: dict) -> Agg:
 # kernel's raw-object lag/at output would not convert back through Arrow
 _MS_AGG_FUNCS = {"sum", "avg", "sum_where", "avg_where",
                  "min", "max", "min_where", "max_where",
-                 "lag", "at", "first_value"}
+                 "lag", "at", "first_value",
+                 # top over Timestamp is legal in the reference (TopKDef
+                 # args_in, default_udf_library.cc:2412) — without the
+                 # ms view the kernel would read NANOSECONDS and the ms
+                 # formatter overflows
+                 "top"}
 
 
 def _ms_view_for_ts_aggs(df: DataFrame, aggs: list[Agg], fields: dict):
@@ -320,8 +325,20 @@ def window_agg(
             f"{'BIGINT or TIMESTAMP' if spec.frame == 'rows' else 'an integer or TIMESTAMP'} "
             f"window order key")
 
+    # argument-domain checks run BEFORE tier dispatch: the reference's
+    # type checker rejects e.g. avg(string) whatever the physical plan;
+    # builtin would otherwise let Spark implicitly cast and compute
+    schema_fields = {f.name: f for f in df.schema.fields}
+    _check_agg_domains(aggs, schema_fields)
+
     if tier == "auto":
-        tier = "builtin" if _builtin_ok(spec, aggs, union) else "kernel"
+        # auto never picks builtin for range frames: ANSI RANGE admits
+        # ALL equal-ts peers while OpenMLDB admits only already-buffered
+        # rows — equivalent only when order keys are unique per key,
+        # which auto cannot verify. Explicit tier='builtin' remains for
+        # callers who know their keys are unique.
+        tier = "builtin" if spec.frame == "rows" \
+            and _builtin_ok(spec, aggs, union) else "kernel"
     if tier == "builtin":
         if union or not _builtin_ok(spec, aggs, union):
             raise ValueError("builtin tier cannot express this spec")
@@ -332,13 +349,18 @@ def window_agg(
     # view — the reference's timestamps ARE int64 ms, while pandas would
     # hand the kernel nanoseconds (sum/avg over ts, last_join_window
     # corpus case 2)
-    schema_fields = {f.name: f for f in df.schema.fields}
-    _check_agg_domains(aggs, schema_fields)
     aggs = [_fill_agg_types(a, schema_fields) for a in aggs]
     df, aggs, ts_cols = _ms_view_for_ts_aggs(df, aggs, schema_fields)
     if ts_cols and union:
+        # a union table may store the ts column as bigint (int64<->ts
+        # interchangeable) — unix_millis on a bigint would not analyze
+        def _ms_of(u, c):
+            if isinstance(u.schema[c].dataType,
+                          (T.TimestampType, T.TimestampNTZType)):
+                return F.unix_millis(F.col(c))
+            return F.col(c).cast("long")
         union = [
-            u.withColumns({f"__ms_{c}": F.unix_millis(F.col(c))
+            u.withColumns({f"__ms_{c}": _ms_of(u, c)
                            for c in ts_cols if c in u.columns})
             for u in union
         ]
@@ -394,6 +416,19 @@ def window_agg(
     if bucket_ms:
         if spec.frame == "rows":
             raise ValueError("bucket_ms chunking needs a time-bounded frame")
+        if spec.frame == "rows_merge_rows_range":
+            # the merge frame retains rows_preceding+1 rows regardless
+            # of age — time-depth replication can't satisfy it
+            raise ValueError("bucket_ms chunking cannot express "
+                             "rows_merge_rows_range row retention")
+        buffer_bounded = [a.func for a in aggs if a.func in ("lag", "at")]
+        if buffer_bounded:
+            # lag/at read the buffer back to the partition start
+            # (unbounded-by-frame, issue #1554); replicated history only
+            # spans the frame depth
+            raise ValueError(
+                f"bucket_ms chunking cannot express buffer-bounded "
+                f"functions {sorted(set(buffer_bounded))}")
         depth_ms = spec.start_delta
         shifts = max(1, math.ceil(depth_ms / bucket_ms))
         work = work.withColumn("__bucket", F.floor(F.col(ORD) / F.lit(bucket_ms)))
@@ -502,7 +537,12 @@ def _salt_by_quantiles(work: DataFrame, keys: list[str], spec: WindowSpec,
     # openmldb.skew.level/threshold the same way)
     min_rows = 2 * depth * q
     cuts = work.groupBy(*keys).agg(
-        F.percentile_approx(ORD, probs, 10_000).alias("__cuts"),
+        # distinct cuts: duplicated percentiles (heavily tied order
+        # keys) would leave intermediate salt buckets EMPTY, and the
+        # one-hop replica chain cannot cross an empty bucket — frames
+        # at the next bucket head would silently lose history
+        F.array_distinct(
+            F.percentile_approx(ORD, probs, 10_000)).alias("__cuts"),
         F.count(F.lit(1)).alias("__cnt"),
     ).withColumn(
         "__cuts",
@@ -576,6 +616,7 @@ def _builtin_window(df: DataFrame, spec: WindowSpec, aggs: list[Agg],
         if a.func.endswith("_where"):
             col = F.when(F.col(a.cond), col)
         base = a.func.replace("_where", "")
+        in_dt = df.schema[a.col].dataType
         if base == "first_value":
             # OpenMLDB first_value = NEWEST frame row = current row here
             e = F.col(a.col)
@@ -587,13 +628,24 @@ def _builtin_window(df: DataFrame, spec: WindowSpec, aggs: list[Agg],
                 # OpenMLDB sum: empty/all-null frame -> 0 (SumUdafDef
                 # const_init, default_udf_library.cc:106-120)
                 e = F.coalesce(e, F.lit(0))
-            if base in ("sum", "min", "max") and isinstance(
-                df.schema[a.col].dataType, _INT_TYPES
-            ):
+            if base == "avg":
+                # AvgUdafDef outputs sum/cnt unconditionally: an
+                # empty/all-null frame is 0/0 = a real double NaN
+                # (kernel parity — fz_ddl/test_myhug pins NaN vs NULL)
+                e = F.when(F.count(col).over(w) == 0,
+                           F.lit(float("nan"))).otherwise(e.cast("double"))
+            elif base == "sum" and isinstance(in_dt, _INT_TYPES):
+                # integer sums stay LONG in this tier: an ANSI cast to
+                # the input width would throw where the kernel wraps
+                # (use tier='kernel' for reference wrap semantics)
                 e = e.cast("long")
-            elif base == "avg":
-                e = e.cast("double")
             elif base in ("sum", "min", "max"):
-                e = e.cast("double")
+                # T -> T like the kernel and the reference's UDAF
+                # signatures (sum(float)=float, min/max keep the input
+                # type; the old blanket double cast NULLed string/date
+                # min/max and widened float)
+                if isinstance(in_dt, (*_INT_TYPES, T.FloatType,
+                                      T.DoubleType)):
+                    e = e.cast(in_dt.simpleString())
         exprs.append(e.alias(a.alias))
     return work.select(*keep_cols, *exprs)

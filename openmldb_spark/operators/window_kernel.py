@@ -123,8 +123,10 @@ def _prefix(arr: np.ndarray) -> np.ndarray:
 class _SparseTable:
     """O(m log m) range-min/max over the eligible value array."""
 
-    def __init__(self, x: np.ndarray, op):
+    def __init__(self, x: np.ndarray, op, identity=None):
         self.op = op
+        self.identity = identity if identity is not None else (
+            np.inf if op is np.minimum else -np.inf)
         m = len(x)
         levels = max(1, m.bit_length())
         self.tab = [x]
@@ -136,8 +138,10 @@ class _SparseTable:
             k += 1
 
     def query(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-        """Reduce over [lo, hi); empty ranges yield the op identity (inf)."""
-        out = np.full(len(lo), np.inf if self.op is np.minimum else -np.inf)
+        """Reduce over [lo, hi); empty ranges yield the op identity."""
+        out = np.full(len(lo), self.identity,
+                      dtype=self.tab[0].dtype if len(self.tab[0])
+                      else np.float64)
         w = hi - lo
         valid = w > 0
         if not valid.any():
@@ -721,21 +725,46 @@ def group_window_features(
             else:
                 m = nn
             op = np.minimum if f.startswith("min") else np.maximum
-            fill = np.inf if f.startswith("min") else -np.inf
-            st = _SparseTable(np.where(m, x_e, fill), op)
-            vals = st.query(lo, hi)
             sv, ok = self_vals(col, cond)
-            vals = np.where(ok, op(vals, np.where(np.isnan(sv), fill, sv)), vals)
+            if pdf[col].dtype == np.int64:
+                # int64-exact path: a non-null int64 column keeps
+                # integer comparisons — the float64 path collapses
+                # adjacent values past 2^53 (same reason agg_sum_int
+                # exists)
+                xi = pdf[col].to_numpy(np.int64)
+                fill = np.iinfo(np.int64).max if f.startswith("min") \
+                    else np.iinfo(np.int64).min
+                st = _SparseTable(np.where(m, xi[idx_e], fill), op,
+                                  identity=fill)
+                vals = st.query(lo, hi)
+                vals = np.where(
+                    ok, op(vals, np.where(ok, xi[E], fill)), vals)
+            else:
+                fill = np.inf if f.startswith("min") else -np.inf
+                st = _SparseTable(np.where(m, x_e, fill), op)
+                vals = st.query(lo, hi)
+                vals = np.where(
+                    ok, op(vals, np.where(np.isnan(sv), fill, sv)), vals)
             # empty/all-null frame → NULL, never NaN: Min/MaxUdafDef's
             # output flag stays unset when Update never ran (avg differs:
             # 0/0 emits a double NaN — fz_ddl/test_myhug.yaml pins
             # max=NULL vs avg=NaN over the same empty frame). Nullable
-            # Float64 keeps the NULL-vs-NaN distinction through Arrow —
-            # built only when an empty frame actually occurred; the
-            # common case stays a plain ndarray.
-            empty = vals == fill
+            # arrays keep the NULL distinction through Arrow — built
+            # only when an empty frame actually occurred; the common
+            # case stays a plain ndarray.
+            cand = vals == fill
+            if cand.any():
+                # confirm TRUE emptiness by frame count: a frame whose
+                # genuine extremum EQUALS the sentinel (±inf doubles,
+                # int64 domain edges) must keep its value, not NULL
+                pcm = _prefix(m.astype(np.float64))
+                cnt = pcm[hi] - pcm[lo] + ok.astype(np.float64)
+                empty = cand & (cnt == 0)
+            else:
+                empty = cand
             if empty.any():
-                res = pd.array(vals, dtype="Float64")
+                res = pd.array(vals, dtype="Int64"
+                               if vals.dtype == np.int64 else "Float64")
                 res[empty] = pd.NA
                 out[alias] = res
             else:

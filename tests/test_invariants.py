@@ -72,11 +72,25 @@ def test_stable_turn_ordering_text_equality(spark, sf_dir):
 def test_bucket_ms_chunking_equals_unchunked(spark, sf_dir):
     """Time-bucket chunking with history replication (the skew path,
     SkewDataFrameUtils.genUnionDf analog) must be a pure physical
-    rewrite."""
+    rewrite. Buffer-bounded functions (lag/at) are excluded: replicated
+    history only spans the frame depth, so chunking them would be wrong
+    on sparse keys — window_agg rejects the combination outright."""
+    import pytest
+
     t = transcripts_df(spark, sf_dir)
-    base = _fv(window_agg(t, SPEC, AGGS, keep_cols=KEY, tier="kernel"))
-    chunked = _fv(window_agg(t, SPEC, AGGS, keep_cols=KEY, tier="kernel",
-                             bucket_ms=3_600_000))
+    frame_aggs = [a for a in AGGS if a.func not in ("lag", "at")]
+
+    def fv(df):
+        return {(r.conv_id, r.turn_idx): (r.sum_v, r.cnt_v, r.min_v)
+                for r in df.collect()}
+
+    base = fv(window_agg(t, SPEC, frame_aggs, keep_cols=KEY,
+                         tier="kernel"))
+    chunked = fv(window_agg(t, SPEC, frame_aggs, keep_cols=KEY,
+                            tier="kernel", bucket_ms=3_600_000))
+    with pytest.raises(ValueError, match="buffer-bounded"):
+        window_agg(t, SPEC, AGGS, keep_cols=KEY, tier="kernel",
+                   bucket_ms=3_600_000)
     assert set(base) == set(chunked)
     for k in base:
         for a, b in zip(base[k], chunked[k]):
