@@ -46,7 +46,10 @@ _SQL_RE = re.compile(
 _WINDEF_RE = re.compile(r"(\w+)\s+AS\s*\(([^()]*)\)",
                         re.DOTALL | re.IGNORECASE)
 _WIN_RE = re.compile(
-    r"^\s*(?:UNION\s+(?P<union>[^P]*?)\s+)?"
+    # the UNION list runs lazily up to PARTITION BY (tempered dot — a
+    # plain [^P] under IGNORECASE would also exclude lowercase 'p' and
+    # reject any union alias containing that letter)
+    r"^\s*(?:UNION\s+(?P<union>(?:(?!\bPARTITION\s+BY\b).)*?)\s+)?"
     r"PARTITION\s+BY\s+(?P<part>.*?)\s+"
     r"ORDER\s+BY\s+(?P<order>.*?)\s+"
     r"(?P<frame>ROWS_RANGE|ROWS)\s+BETWEEN\s+"
@@ -1425,7 +1428,9 @@ def _lift_anonymous_windows(sql: str) -> str:
         bodies.append(m.group(1))
         return f" OVER __anon{len(bodies) - 1} "
 
-    new = re.sub(r"OVER\s*\(([^()]*)\)", repl, sql, flags=re.IGNORECASE)
+    # string-masked: a literal containing 'OVER (' must survive
+    new = _sub_outside_strings(r"OVER\s*\(([^()]*)\)", repl, sql,
+                               flags=re.IGNORECASE)
     if not bodies:
         return sql
     defs = ", ".join(f"__anon{i} AS ({b})" for i, b in enumerate(bodies))
@@ -1615,7 +1620,11 @@ class _AggAlloc:
             raise SqlUnsupported(f"unknown window {wname!r}")
         key = (wname, kw["func"], kw["col"], kw["param"], kw["cond"],
                kw["cate"], kw.get("delim"), kw.get("kv_delim"),
-               kw.get("sep"), kw.get("cond_anchor"))
+               kw.get("sep"), kw.get("cond_anchor"),
+               # fv distinguishes a first_value-anchored condition from
+               # a lag(x,0)-anchored one — collapsing them would reuse
+               # the wrong aggregate and skip the fv frame-end check
+               kw.get("cond_anchor_fv"))
         if key not in self.seen:
             alias = f"__e{len(self.seen)}"
             self.seen[key] = alias
@@ -2050,7 +2059,11 @@ def canonicalize_tables(sql: str, tables) -> tuple[str, list]:
                 # count — a projection column alias (`'' as action`,
                 # fz_ddl/test_bank.yaml) must not shadow the table.
                 continue
-            sql = re.sub(rf"\b{re.escape(name)}\s*\.", f"{{{i}}}.", sql)
+            # quote-aware + case-insensitive like the FROM/JOIN subs —
+            # a plain sub would rewrite inside string literals
+            sql = _sub_outside_strings(
+                rf"\b{re.escape(name)}\s*\.", f"{{{i}}}.", sql,
+                flags=re.IGNORECASE)
             sql = re.sub(rf"(\bFROM\s+){re.escape(name)}\b", rf"\g<1>{{{i}}}",
                          sql, flags=re.IGNORECASE)
             sql = re.sub(rf"(\bjoin\s+){re.escape(name)}\b", rf"\g<1>{{{i}}}",
@@ -2358,9 +2371,11 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
     stitched on a synthetic row id — the ConcatJoin role); LAST JOIN
     queries lower to last_join; anything else runs as translated Spark
     SQL over temp views."""
+    # comments strip FIRST: a '?' inside a comment must not look like a
+    # parameter placeholder to bind_params
+    sql = strip_comments(sql)
     if params is not None:
         sql = bind_params(sql, list(params))
-    sql = strip_comments(sql)
     sql = _strip_backticks(sql)
     # `from(select ...)` / `join(select ...)` with no space — the
     # reference's tokenizer accepts it (deploy corpus test_create_deploy
@@ -2375,12 +2390,19 @@ def run_sql(spark, sql: str, tables, params=None, default_db=None):
         # trailing CONFIG (k=v, ...) clause: hybridse parses and attaches
         # it to the plan (plan corpus simple_query "select with config");
         # the batch engine ignores it — strip through the matching paren
-        depth, j = 0, sql.index("(", cm.start())
-        k = j
+        # quote-aware paren matching: a ')' inside a CONFIG string value
+        # must not close the clause early
+        depth, k, quote = 0, sql.index("(", cm.start()), None
         while k < len(sql):
-            if sql[k] == "(":
+            c = sql[k]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "'\"":
+                quote = c
+            elif c == "(":
                 depth += 1
-            elif sql[k] == ")":
+            elif c == ")":
                 depth -= 1
                 if depth == 0:
                     break
@@ -2734,7 +2756,8 @@ def _run_plain_sql(spark, sql: str, tables: list):
     # count over a const is rejected by the reference (`count(1)` fails,
     # `count(*)` passes — v040/test_udaf.yaml ids 0-1); masked so a
     # literal "count(1)" inside a string cannot trip it
-    if re.search(r"\bcount\s*\(\s*\d", _mask_strings(sql), re.IGNORECASE):
+    if re.search(r"\bcount\s*\(\s*\d+(?:\.\d+)?\s*\)", _mask_strings(sql),
+                 re.IGNORECASE):
         raise SqlUnsupported("count over a const (reference rejects)")
 
     for i, df in enumerate(tables):
@@ -2757,7 +2780,8 @@ def _run_lastjoin_window_sql(sql: str, tables: list, limit: int | None = None):
     over the joined table with {1}.col refs mapped to the joined r__cols."""
     import pyspark.sql.functions as F
 
-    if len(re.findall(r"last\s+join", sql, re.IGNORECASE)) > 1:
+    if len(re.findall(r"last\s+join", _mask_strings(sql),
+                      re.IGNORECASE)) > 1:
         raise SqlUnsupported("multi-table LAST JOIN chain + WINDOW")
     # normalize an aliased right side — `last join {k} as t1 ... t1.c4`
     # (an inlined sub-select, test_lastjoin_complex.yaml id 4) — to
@@ -3058,9 +3082,33 @@ def _run_lastjoin_sql(sql: str, tables: list, limit: int | None = None):
 
 
 def _split_conds(cond_txt: str) -> list[str]:
-    """Split a join condition on top-level ANDs, keeping the AND that
-    belongs to a BETWEEN ... AND ... intact."""
-    parts = re.split(r"\s+and\s+", cond_txt, flags=re.IGNORECASE)
+    """Split a join condition on top-level ANDs — paren-depth- and
+    quote-aware (an AND inside a parenthesized sub-condition or a
+    string literal must not split), keeping the AND that belongs to a
+    BETWEEN ... AND ... intact."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth, i, n = 0, 0, len(cond_txt)
+    while i < n:
+        ch = cond_txt[i]
+        if ch in "'\"":
+            j = _skip_str(cond_txt, i)
+            cur.append(cond_txt[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and (i == 0 or cond_txt[i - 1].isspace()) and \
+                re.match(r"(?i)and(?![\w$])", cond_txt[i:i + 4]):
+            parts.append("".join(cur))
+            cur = []
+            i += 3
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
     out: list[str] = []
     for p in parts:
         if out and re.search(r"\bbetween\b\s*\S*$",
@@ -3068,7 +3116,7 @@ def _split_conds(cond_txt: str) -> list[str]:
             out[-1] = f"{out[-1]} AND {p}"
         else:
             out.append(p)
-    return out
+    return [p for p in out if p.strip()]
 
 
 def _one_last_join(left, right, order, cond_txt, rid=False,
@@ -3120,13 +3168,17 @@ def _one_last_join(left, right, order, cond_txt, rid=False,
         if em:
             equi.append((em.group(1), em.group(2)))
             continue
-        rm = re.fullmatch(r"\{(\d+)\}\.(\w+)\s*(>=|<=|!=|=|>|<)\s*(.+)", tok)
+        rm = re.fullmatch(r"\{(\d+)\}\.(\w+)\s*(>=|<=|!=|=|>|<)\s*(.+)",
+                          tok, re.DOTALL)
         if rm:
             t, col, op, rhs = rm.groups()
             lhs = col if t == "0" else f"{rprefix}{col}"
             rhs = re.sub(r"\{0\}\.(\w+)", r"\1", rhs)
             rhs = re.sub(r"\{\d+\}\.(\w+)", rf"{rprefix}\1", rhs)
-            residual.append(f"{lhs} {op} {rhs}")
+            # translate like the general path: OpenMLDB function
+            # spellings (minimum/...) and the zero-divisor guard apply
+            # to simple comparisons too
+            residual.append(f"({translate_expr(f'{lhs} {op} {rhs}')})")
             continue
         # general residual (BETWEEN, IS NULL, function calls, ...)
         gen = re.sub(r"\{0\}\.(\w+)", r"\1", tok)
