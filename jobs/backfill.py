@@ -47,12 +47,16 @@ def build(pipe: CheckpointedPipeline, sf_dir: str) -> None:
                lambda spark: updates_df(spark, sf_dir).select(
                    "conv_id", "ts_ms", "cfg", "weight"),
                params=sf_dir)
+    sess_spec = SessionizeSpec(partition_by=["conv_id"], order_by="ts_ms",
+                               gap_ms="5m")
     pipe.stage(
         "sessions",
-        lambda spark, t: sessionize(
-            t, SessionizeSpec(partition_by=["conv_id"], order_by="ts_ms",
-                              gap_ms="5m")),
+        lambda spark, t: sessionize(t, sess_spec),
         deps=["transcripts"],
+        # fingerprint from the ACTUAL spec: editing gap_ms without
+        # remembering a hand-written version bump must invalidate the
+        # checkpoint, not resume stale sessions
+        params=repr(sess_spec),
     )
     spec = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
                       frame="rows_range", preceding="30m",
@@ -69,7 +73,8 @@ def build(pipe: CheckpointedPipeline, sf_dir: str) -> None:
             s, spec, aggs,
             keep_cols=[*KEY, "ts_ms", "role", "session_id"], tier="kernel"),
         deps=["sessions"],
-        params="rows_range30m/v1",
+        # same principle: spec + agg list ARE the configuration
+        params=f"{spec!r}/{aggs!r}",
     )
     pipe.stage(
         "features",

@@ -39,11 +39,22 @@ _PASSTHROUGH = [
 ]
 
 
+def _ts_of(x) -> Column:
+    """Operand → timestamp with OpenMLDB semantics: INTEGER operands
+    are epoch MILLISECONDS (int64 timestamps), not the seconds Spark's
+    long→timestamp cast assumes; everything else casts plainly."""
+    c = _col(x)
+    return F.when(
+        F.typeof(c).isin("bigint", "int", "smallint", "tinyint"),
+        F.timestamp_millis(c.cast("long")),
+    ).otherwise(c.cast("timestamp"))
+
+
 def _local8(x) -> Column:
     """Render a timestamp operand as OpenMLDB wall time — the reference
     pins all timestamp→calendar conversion to fixed UTC+8
     (constexpr TZ = 8, hybridse/src/udf/udf.cc:54-67)."""
-    return F.from_utc_timestamp(_col(x).cast("timestamp"), "+08:00")
+    return F.from_utc_timestamp(_ts_of(x), "+08:00")
 
 
 _STRFTIME_MAP = {
@@ -174,11 +185,12 @@ def _ilike_match(s, pat, esc: str | None = None) -> Column:
 
 
 def _strcmp(a, b) -> Column:
-    """strcmp (:648): 0 if equal, -1 if a<b, 1 if a>b."""
+    """strcmp (:648): 0 if equal, -1 if a<b, 1 if a>b; NULL input
+    propagates NULL (the otherwise(0) fallback used to declare NULL
+    'equal' to every string)."""
     a, b = _col(a), _col(b)
-    return (
-        F.when(a < b, F.lit(-1)).when(a > b, F.lit(1)).otherwise(F.lit(0))
-    )
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("int")) \
+        .when(a < b, F.lit(-1)).when(a > b, F.lit(1)).otherwise(F.lit(0))
 
 
 def _cot(x) -> Column:
@@ -204,9 +216,15 @@ def _empty_str_array() -> Column:
 
 def _fz_split(s, delim) -> Column:
     """fz_split (feature_zero_def.cc:181-226): string → list by
-    delimiter; NULL input or empty delimiter → EMPTY list."""
+    delimiter; NULL input or empty delimiter → EMPTY list. A SINGLE-char
+    delimiter is a LITERAL char scan in the reference (:187-202) — only
+    multi-char delimiters take the boost::split_regex fallback — so '|'
+    or '.' must be escaped before Spark's regex-based split."""
     if not delim:
         return _empty_str_array()
+    if len(delim) == 1:
+        import re as _re
+        delim = _re.escape(delim)
     return F.when(_col(s).isNull(), _empty_str_array()) \
             .otherwise(F.split(_col(s), delim))
 
@@ -256,7 +274,7 @@ REGISTRY.update({
     ),
     "char_length": F.length,
     "character_length": F.length,
-    "char": F.chr if hasattr(F, "chr") else (lambda x: F.expr(f"chr({x})")),
+    "char": F.chr,
     "strcmp": _strcmp,
     "ilike_match": _ilike_match,
     "like_match": _like_match,
@@ -275,7 +293,7 @@ REGISTRY.update({
     "float": lambda x: _col(x).cast("float"),
     "double": lambda x: _col(x).cast("double"),
     "date": lambda x: _col(x).cast("date"),
-    "timestamp": lambda x: _col(x).cast("timestamp"),
+    "timestamp": lambda x: _ts_of(x),
     # date/time: calendar parts render at fixed UTC+8 (udf.cc:54-67)
     "year": lambda x: F.year(_local8(x)),
     "month": lambda x: F.month(_local8(x)),

@@ -42,14 +42,23 @@ def plan_stats(df: DataFrame) -> PlanStats:
     simple = explain_str(df, "simple")
     formatted = explain_str(df, "formatted")
     return PlanStats(
-        exchanges=simple.count("Exchange hashpartitioning")
-        + simple.count("Exchange rangepartitioning"),
+        # every shuffle exchange counts: SinglePartition (global
+        # limit/sort/coalesce(1)) and round-robin (repartition(n)) are
+        # exactly the all-data-to-few-tasks shapes a 100 TB plan audit
+        # exists to catch
+        exchanges=len(re.findall(
+            r"(?i)Exchange (?:hashpartitioning|rangepartitioning|"
+            r"SinglePartition|roundrobinpartitioning)", simple)),
         broadcast_exchanges=simple.count("BroadcastExchange"),
         pandas_stages=sum(simple.count(s) for s in
                           ("FlatMapGroupsInPandas", "MapInPandas",
                            "FlatMapCoGroupsInPandas", "ArrowEvalPython")),
-        scans=simple.count("FileScan") + simple.count("Scan parquet"),
-        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", formatted),
-        wholestage_codegen="WholeStageCodegen" in explain_str(df, "simple")
-        or "*(" in simple,
+        # 'FileScan parquet' contains 'Scan parquet' — count with a
+        # boundary so a v1 scan isn't double-counted
+        scans=len(re.findall(r"(?:File|Batch)?Scan parquet|FileScan\b",
+                             simple)),
+        # an empty PushedFilters list ([]) is NOT a pushed filter
+        pushed_filters=[p for p in re.findall(
+            r"PushedFilters: \[([^\]]*)\]", formatted) if p.strip()],
+        wholestage_codegen="WholeStageCodegen" in simple or "*(" in simple,
     )

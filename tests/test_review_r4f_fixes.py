@@ -88,3 +88,57 @@ def test_count_of_nonconst_expression_starting_with_digit(spark):
     with pytest.raises(SqlUnsupported):
         run_sql(spark, "select c1, count(1) as n from {0} group by c1",
                 [t1])
+
+
+# ------------------------------------------------- registry / plans
+
+def test_calendar_parts_of_int64_ms(spark):
+    """year(1590738989000) over an int64 column: integer operands are
+    epoch MILLISECONDS (a seconds-based cast gave year ~52362)."""
+    from openmldb_spark.functions.registry import fn
+    df = spark.createDataFrame([(1_590_738_989_000,)], "ts_ms long")
+    r = df.select(fn("year")(__import__("pyspark.sql.functions",
+                                        fromlist=["col"]).col("ts_ms"))
+                  .alias("y")).collect()[0]
+    assert r.y == 2020
+
+
+def test_strcmp_null_propagates(spark):
+    from openmldb_spark.functions.registry import fn
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame([("x", None)], "a string, b string")
+    r = df.select(fn("strcmp")(F.col("a"), F.col("b")).alias("c"),
+                  fn("strcmp")(F.col("a"), F.col("a")).alias("e")
+                  ).collect()[0]
+    assert r.c is None and r.e == 0
+
+
+def test_fz_split_single_char_regex_metachar_is_literal(spark):
+    from openmldb_spark.functions.registry import fn
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame([("a|b", "k.v")], "s string, t string")
+    r = df.select(fn("fz_split")(F.col("s"), "|").alias("p"),
+                  fn("fz_split")(F.col("t"), ".").alias("q")).collect()[0]
+    assert r.p == ["a", "b"] and r.q == ["k", "v"]
+
+
+def test_plan_stats_counts_all_exchange_kinds(spark):
+    from openmldb_spark.plans.explain import plan_stats
+    df = spark.range(100)
+    st = plan_stats(df.repartition(4))       # round-robin
+    assert st.exchanges >= 1
+    import pyspark.sql.functions as F
+    st2 = plan_stats(df.groupBy().agg(F.sum("id")))
+    assert st2.exchanges >= 1                # Exchange SinglePartition
+    st3 = plan_stats(df)
+    assert st3.exchanges == 0
+
+
+def test_plan_stats_empty_pushed_filters_not_counted(spark, sf_dir):
+    from openmldb_spark.plans.explain import plan_stats
+    scan = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    no_push = plan_stats(scan)
+    assert no_push.scans == 1                # not double-counted
+    assert no_push.pushed_filters == []
+    pushed = plan_stats(scan.where("n_nationkey = 3"))
+    assert len(pushed.pushed_filters) >= 1
