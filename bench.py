@@ -124,12 +124,19 @@ def plan_stats(df) -> dict:
     s = "\n".join(kept)
     return {
         "exchanges": len(re.findall(
-            r"Exchange (?:hashpartitioning|rangepartitioning|"
-            r"SinglePartition)", s)),
+            r"(?i)Exchange (?:hashpartitioning|rangepartitioning|"
+            r"SinglePartition|roundrobinpartitioning)", s)),
         "broadcasts": s.count("BroadcastExchange"),
         "python_stages": sum(s.count(k) for k in _PY_STAGES),
         "sorts": len(re.findall(r"\bSort \[", s)),
     }
+
+
+def _safe_float(sf: str):
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
 
 
 def main() -> None:
@@ -155,10 +162,13 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in QUERIES:
+            # a renamed/typo'd headline entry must show in the record,
+            # not silently vanish from the round-over-round diff
+            errors[name] = "headline name not in QUERIES"
             continue
         best = float("inf")
         try:
-            for _ in range(runs):
+            for _ in range(max(1, runs)):
                 t0 = time.monotonic()
                 df = QUERIES[name](spark, sf_dir)
                 df.count()
@@ -191,7 +201,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": _safe_float(sf),
         "turns": n_turns,
         "turns_per_sec": turns_per_sec,
         "turns_per_sec_basis": "median of kernel-window family",

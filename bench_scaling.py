@@ -30,9 +30,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def ensure_data() -> None:
     """Replicate the derived transcript table REPLICAS× with distinct
-    conv_ids (deterministic)."""
+    conv_ids (deterministic). The generation config is stamped next to
+    the data: changing SCALE_REPLICAS / SPARK_GRAFT_SF_DIR regenerates
+    instead of silently reusing a stale dataset."""
+    stamp_path = os.path.join(DATA, "_GEN_CONFIG")
+    stamp = f"replicas={REPLICAS} sf_dir={SF_DIR}"
     if os.path.exists(os.path.join(DATA, "_SUCCESS")):
-        return
+        try:
+            with open(stamp_path) as f:
+                if f.read() == stamp:
+                    return
+        except OSError:
+            pass
     import pyspark.sql.functions as F
     from openmldb_spark.session import get_spark
     from openmldb_spark.transcripts import transcripts_df
@@ -47,6 +56,8 @@ def ensure_data() -> None:
         .drop("__rep", "ts")
     )
     big.repartition(64).write.mode("overwrite").parquet(DATA)
+    with open(os.path.join(DATA, "_GEN_CONFIG"), "w") as f:
+        f.write(f"replicas={REPLICAS} sf_dir={SF_DIR}")
     spark.stop()
 
 
@@ -106,8 +117,16 @@ def main() -> None:
         for cores in (4, 8, 16, 32):
             out = subprocess.run(
                 [sys.executable, __file__, "--cores", str(cores)],
-                capture_output=True, text=True, check=True,
+                capture_output=True, text=True,
             )
+            if out.returncode != 0:
+                # echo the child's stderr and keep the completed
+                # levels instead of discarding the whole ladder
+                sys.stderr.write(out.stderr[-4000:])
+                sys.stderr.write(
+                    f"\nlevel local[{cores}] failed "
+                    f"(rc={out.returncode}); continuing sweep\n")
+                continue
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             if cores not in levels or \
                     rec["turns_per_sec"] > levels[cores]["turns_per_sec"]:

@@ -10,7 +10,7 @@ and Arrow kernels.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 _TIME_RE = re.compile(r"^\s*(-?\d+)\s*(ms|s|m|h|d)?\s*$", re.IGNORECASE)
 _UNIT_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000, None: 1}
@@ -23,6 +23,12 @@ def parse_time_ms(v) -> int:
     number in a ROWS_RANGE bound is in the order-key unit (ms).
     """
     if isinstance(v, (int, float)):
+        # reject lossy fractions instead of truncating (0.5 -> 0 would
+        # silently change the frame width; the string form '0.5s'
+        # already raises)
+        if int(v) != v:
+            raise ValueError(f"fractional time value {v!r} (pass whole "
+                             f"milliseconds or a unit literal)")
         return int(v)
     m = _TIME_RE.match(str(v))
     if not m:

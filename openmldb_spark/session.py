@@ -25,8 +25,18 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N-ish shuffle partitions; clusters override explicitly.
-        n = cpus if master.startswith("local") else 2048
+        # local[N] -> N-ish shuffle partitions, from the N of the
+        # ACTUAL master (an explicitly passed local[32] must not
+        # inherit a stale SPARK_GRAFT_CPUS=8); clusters override
+        # explicitly.
+        import re as _re
+        lm = _re.fullmatch(r"local\[(\d+|\*)\]", master)
+        if lm and lm.group(1) != "*":
+            n = int(lm.group(1))
+        elif master.startswith("local"):
+            n = cpus
+        else:
+            n = 2048
         shuffle_partitions = max(4, n)
     b = (
         SparkSession.builder.appName(app_name)
