@@ -352,18 +352,21 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
         ])).alias("c"),
     ).select(id_col, "simhash", "c.ci", "c.cv")
     a, b = chunks.alias("a"), chunks.alias("b")
+    # hamming filter BEFORE the dedup-distinct: the popcount is a cheap
+    # bitwise expression evaluated map-side on the join output, and it
+    # drops almost every candidate (synthetic sf0.1: 304k candidates →
+    # ~600 pairs), so the distinct shuffles ~1k rows instead of the full
+    # candidate set — the ordering that matters at 100 TB, where the
+    # candidate volume is the operator's dominant shuffle
     pairs = (
         a.join(b, (F.col("a.ci") == F.col("b.ci"))
                & (F.col("a.cv") == F.col("b.cv"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("sig_a"),
-                F.col("b.simhash").alias("sig_b"))
-        .distinct()
-        .withColumn("hamming",
-                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+                F.bit_count(F.col("a.simhash")
+                            .bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
     return pairs
