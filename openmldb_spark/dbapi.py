@@ -508,7 +508,18 @@ class Cursor:
             chunk = [tuple(r) for r in rows[i:i + batch_number]]
             stmt = head + ", ".join([tuple_txt] * len(chunk))
             flat = tuple(v for r in chunk for v in r)
-            self.execute(stmt, flat)
+            try:
+                self.execute(stmt, flat)
+            except Exception:
+                # one bad row (e.g. an unbindable value) must not abort
+                # the whole batch: the reference executes per row, so
+                # every row BEFORE the failure inserts and the error
+                # names the offending row. The multi-row statement is
+                # all-or-nothing (nothing inserted on raise), so replay
+                # this chunk row-by-row — good rows land, the bad row's
+                # error propagates with per-row granularity.
+                for r in chunk:
+                    self.execute(operation, r)
         return None
 
     # ------------------------------------------------------------------

@@ -118,8 +118,25 @@ def last_join(
     if not order:
         # unordered join with no declared tiebreak: pin determinism on
         # the right VALUE columns (an orderBy(lit(1)) row_number keeps
-        # partition-arrival order — different per retry/partitioning)
-        order = [r[c].desc_nulls_last() for c in right_cols] or [F.lit(1)]
+        # partition-arrival order — different per retry/partitioning).
+        # Only ORDERABLE types can participate: a map<..> column in the
+        # orderBy raises AnalysisException, so filter those out and fall
+        # back to lit(1) if nothing orderable remains (documented
+        # residual nondeterminism, same as pre-pinning behavior).
+        import pyspark.sql.types as T
+
+        def _orderable(dt) -> bool:
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
+        rschema = {f.name: f.dataType for f in right.schema.fields}
+        order = [r[c].desc_nulls_last() for c in right_cols
+                 if _orderable(rschema[c])] or [F.lit(1)]
 
     w = Window.partitionBy(_RID).orderBy(*order)
     out = (

@@ -107,6 +107,19 @@ def long_window_agg(
         .withColumn("__bc", _bucket(ordc, bucket_ms))
         .withColumn("__bs", _bucket(ordc - window_ms, bucket_ms))
     )
+    # __rid is NONDETERMINISTIC and this lineage feeds FOUR subtrees
+    # (both _lk lookup streams, the edge scans, and the final join's
+    # left side). If the subtrees re-evaluated it independently — after
+    # a task retry, an AQE replan, or any intra-partition order change
+    # in the upstream — the same __rid would bind to different rows in
+    # different subtrees and the cum-lookup join would silently attach
+    # the wrong window sums. An eager localCheckpoint pins the
+    # assignment once: every subtree reads the SAME materialized rows
+    # (a persist() is weaker — cache eviction silently recomputes).
+    # Cost: one materialization of the filtered input per call; on a
+    # cluster a lost executor fails the job instead of recomputing,
+    # which is the correct trade for a correctness-critical id.
+    rows = rows.localCheckpoint(eager=True)
 
     # ---- cum lookups at __bc-1 ("a") and __bs ("b"), sparse as-of ----
     # union the lookup points into the partials stream and take the

@@ -27,6 +27,13 @@ import pyspark.sql.functions as F
 from openmldb_spark.plans.specs import Agg, WindowSpec
 from openmldb_spark.operators.window import _order_col, window_agg
 
+# last persisted request batch per session (bounded cache, same pattern
+# as dedup._SIMHASH_CACHE): the persist below must outlive this call —
+# the returned DataFrame's feature job reads it lazily — so each call
+# unpersists the PREVIOUS call's batch instead, keeping at most one
+# request batch pinned per session rather than accumulating forever
+_REQ_CACHE: dict = {}
+
 
 def request_features(
     requests: DataFrame,
@@ -70,6 +77,14 @@ def request_features(
         # contract); persist first so the request lineage doesn't
         # execute twice (once here, once in the feature job)
         requests = requests.persist()
+        sess_key = id(requests.sparkSession)
+        prev = _REQ_CACHE.pop(sess_key, None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+        _REQ_CACHE[sess_key] = requests
         ordc = _order_col(requests, order_name)
         bounds = requests.agg(
             F.max(ordc).alias("mx"), F.min(ordc).alias("mn")).first()

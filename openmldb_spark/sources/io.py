@@ -414,10 +414,21 @@ def _read_with_schema(spark, path, fmt, opts, schema: T.StructType):
         # arbitrary schema on overwrite
         df = spark.read.format(fmt).options(**opts).load(path)
         names = [f.name for f in schema.fields]
-        if list(df.columns) != names:
+        have = list(df.columns)
+        # order-insensitive: the select below reorders to the table's
+        # declared order, so only genuinely missing/extra/duplicated
+        # columns are errors (a column-identical file in a different
+        # physical order loads fine)
+        dupes = sorted(c for c in set(have) if have.count(c) > 1)
+        if dupes:
             raise ValueError(
-                f"{fmt} columns {list(df.columns)} do not match table "
-                f"columns {names}")
+                f"{fmt} file has duplicated columns {dupes}")
+        if set(have) != set(names):
+            missing = sorted(set(names) - set(have))
+            extra = sorted(set(have) - set(names))
+            raise ValueError(
+                f"{fmt} columns do not match table columns: "
+                f"missing {missing}, unexpected {extra}")
         cols = []
         for f in schema.fields:
             have = df.schema[f.name].dataType
