@@ -97,15 +97,28 @@ def connected_components(
     # equaling the input would only mean the input was already in star
     # form, which round 2 detects at the same total round count — so
     # the pre-loop aggregate job is pure overhead.
+    #
+    # Rounds 0-1 also skip the fingerprint: convergence is only
+    # DETECTABLE from two computed fingerprints (cur == prev), so the
+    # earliest useful compare is round 2 vs round 1 — and the first
+    # rounds carry the LARGEST edge sets, making their aggregate jobs
+    # the two most expensive of the loop. The skipped rounds'
+    # non-eager checkpoints materialize together with round 2's
+    # fingerprint action in one pass. (With a tiny max_iter budget the
+    # skip would make convergence unreachable, so it only engages when
+    # the budget allows the deferred detection.)
+    skip_until = 2 if max_iter >= 4 else 0
     prev = None
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # non-eager checkpoint: the _sig action below materializes it,
         # one pass instead of eager-checkpoint + count
         edges_new = _small_star(_large_star(edges)) \
             .localCheckpoint(eager=False)
-        cur = _sig(edges_new)
         edges = edges_new
+        if i < skip_until:
+            continue
+        cur = _sig(edges_new)
         if cur == prev:
             converged = True
             break
