@@ -134,9 +134,21 @@ def last_join(
                 return all(_orderable(f.dataType) for f in dt.fields)
             return True
 
+        # exact-name lookup first, case-insensitive fallback second —
+        # Spark resolves r[c] case-insensitively, so a caller-supplied
+        # right_cols=['CFG'] against a 'cfg' column must not KeyError
+        # here; a name resolving to nothing is skipped (the select
+        # above would already have raised for a truly missing column)
         rschema = {f.name: f.dataType for f in right.schema.fields}
+        rschema_ci = {f.name.lower(): f.dataType
+                      for f in right.schema.fields}
+
+        def _dt(c):
+            return rschema.get(c, rschema_ci.get(c.lower()))
+
         order = [r[c].desc_nulls_last() for c in right_cols
-                 if _orderable(rschema[c])] or [F.lit(1)]
+                 if _dt(c) is not None and _orderable(_dt(c))] \
+            or [F.lit(1)]
 
     w = Window.partitionBy(_RID).orderBy(*order)
     out = (

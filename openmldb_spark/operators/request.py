@@ -27,13 +27,6 @@ import pyspark.sql.functions as F
 from openmldb_spark.plans.specs import Agg, WindowSpec
 from openmldb_spark.operators.window import _order_col, window_agg
 
-# last persisted request batch per session (bounded cache, same pattern
-# as dedup._SIMHASH_CACHE): the persist below must outlive this call —
-# the returned DataFrame's feature job reads it lazily — so each call
-# unpersists the PREVIOUS call's batch instead, keeping at most one
-# request batch pinned per session rather than accumulating forever
-_REQ_CACHE: dict = {}
-
 
 def request_features(
     requests: DataFrame,
@@ -74,17 +67,19 @@ def request_features(
                 order_name = hits[0]
         # the min/max action is one of the engine's three bounded
         # deliberate driver actions (request batches are small by
-        # contract); persist first so the request lineage doesn't
-        # execute twice (once here, once in the feature job)
-        requests = requests.persist()
-        sess_key = id(requests.sparkSession)
-        prev = _REQ_CACHE.pop(sess_key, None)
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
-        _REQ_CACHE[sess_key] = requests
+        # contract). Materialize the batch ONCE with an eager
+        # localCheckpoint before it: the bounds scan here and the
+        # feature job later then read the same pinned rows. A persist()
+        # is the wrong tool twice over — Spark's CacheManager keys
+        # cache entries by PLAN EQUALITY, so unpersisting a previous
+        # equal-plan batch would uncache the new one (empirically
+        # verified), and an evicted/unpersisted entry silently
+        # re-executes the request lineage, which for a nondeterministic
+        # source (limit/sample) could emit rows outside the history
+        # window pruned from the bounds snapshot below. Checkpointed
+        # RDDs are freed when the DataFrame is garbage-collected — no
+        # unpersist bookkeeping, nothing accumulates across calls.
+        requests = requests.localCheckpoint(eager=True)
         ordc = _order_col(requests, order_name)
         bounds = requests.agg(
             F.max(ordc).alias("mx"), F.min(ordc).alias("mn")).first()

@@ -330,9 +330,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     # both self-join sides reuse the signatures: compute the UDF once.
     # The cache is BOUNDED to one table per session — each call
     # unpersists the previous call's signatures, so parameter sweeps
-    # don't accumulate pinned executor storage
-    sigs = simhash(ensure_parallelism(df), text_col, id_col,
-                   hash_fn=hash_fn).persist()
+    # don't accumulate pinned executor storage. Ordering matters: the
+    # previous entry is unpersisted BEFORE the new persist — Spark's
+    # CacheManager keys cache entries by plan equality, so with two
+    # calls over the same input (same plan) the reverse order would
+    # uncache the brand-new entry along with the old one and both join
+    # sides would silently recompute the UDF.
     sess_key = id(df.sparkSession)
     prev = _SIMHASH_CACHE.pop(sess_key, None)
     if prev is not None:
@@ -340,6 +343,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
             prev.unpersist()
         except Exception:
             pass
+    sigs = simhash(ensure_parallelism(df), text_col, id_col,
+                   hash_fn=hash_fn).persist()
     _SIMHASH_CACHE[sess_key] = sigs
     sigs.count()
     chunks = sigs.select(

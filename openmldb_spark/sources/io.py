@@ -431,17 +431,17 @@ def _read_with_schema(spark, path, fmt, opts, schema: T.StructType):
                 f"missing {missing}, unexpected {extra}")
         cols = []
         for f in schema.fields:
-            have = df.schema[f.name].dataType
-            if have == f.dataType:
+            actual_dt = df.schema[f.name].dataType
+            if actual_dt == f.dataType:
                 cols.append(F.col(f.name))
             elif isinstance(f.dataType, T.TimestampType) and \
-                    isinstance(have, (T.LongType, T.IntegerType)):
+                    isinstance(actual_dt, (T.LongType, T.IntegerType)):
                 cols.append(F.timestamp_millis(
                     F.col(f.name).cast("long")).alias(f.name))
             else:
                 raise ValueError(
                     f"{fmt} column {f.name!r} has type "
-                    f"{have.simpleString()}, table declares "
+                    f"{actual_dt.simpleString()}, table declares "
                     f"{f.dataType.simpleString()}")
         return df.select(*cols)
     if str(opts.get("header", "true")).lower() == "true":

@@ -43,14 +43,25 @@ def _resolve_spark():
     return get_spark()
 
 
+_CONNECT_URL_KEYS = {"zk", "zkPath", "host", "port"}
+
+
 def connect_args_from_url(database: str | None,
                           query: dict | None) -> tuple[tuple, dict]:
     """URL pieces → DBAPI connect args; the reference's
     create_connect_args body (openmldb_dialect.py:119-127) minus the
     sqlalchemy URL object, so it is testable without the library.
-    zk/zkPath survive pass-through (accepted and unused by our driver,
-    same as the reference signature contract)."""
+    zk/zkPath/host/port survive pass-through (accepted and unused by
+    our driver, same as the reference signature contract); any other
+    query key is rejected HERE with a clear message — forwarding it
+    would surface as a raw TypeError from connect()'s fixed signature
+    at first engine use."""
     qargs: dict = {"db": database or "default_db"}
+    extra = sorted(set(query or ()) - _CONNECT_URL_KEYS)
+    if extra:
+        raise ValueError(
+            f"unsupported connection URL parameter(s) {extra}; "
+            f"this dialect accepts {sorted(_CONNECT_URL_KEYS)}")
     qargs.update(query or {})
     return (), qargs
 

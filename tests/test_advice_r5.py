@@ -81,22 +81,28 @@ def test_executemany_all_good_rows_still_batch(spark):
         [(i,) for i in range(5)]
 
 
-# -- 3. request_features persisted batch bounded ---------------------------
+# -- 3. request_features batch pinned once, no pinned accumulation ---------
 
-def test_request_features_unpersists_previous_batch(spark, sf_dir):
+def test_request_features_batch_checkpointed_not_persisted(spark, sf_dir):
+    """The request batch is pinned by an eager localCheckpoint: the
+    bounds scan and the feature job read the SAME materialized rows
+    (a persist was both leak-prone and wrong — CacheManager keys by
+    plan equality, so equal-plan batches uncached each other), and
+    checkpointed RDDs free on GC, so repeated calls leave no growing
+    pinned storage."""
     from openmldb_spark.operators import request as req
     from openmldb_spark.plans.specs import Agg, WindowSpec
     t = transcripts_df(spark, sf_dir).select("conv_id", "ts_ms", "value")
     spec = WindowSpec(partition_by=["conv_id"], order_by="ts_ms",
                       frame="rows_range", preceding=3_600_000)
     aggs = [Agg("sum", "value", "s")]
-    req.request_features(t.limit(20), t, spec, aggs).count()
-    first = req._REQ_CACHE[id(spark)]
-    req.request_features(t.limit(21), t, spec, aggs).count()
-    second = req._REQ_CACHE[id(spark)]
-    assert second is not first
-    assert first.storageLevel.useMemory is False     # unpersisted
-    assert len(req._REQ_CACHE) >= 1                  # bounded: one live
+    out = req.request_features(t.limit(20), t, spec, aggs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan          # batch reads the pinned rows
+    assert out.count() == 20
+    # equal-plan repeat works and stays correct (the old persist-swap
+    # pattern uncached the live batch here)
+    assert req.request_features(t.limit(20), t, spec, aggs).count() == 20
 
 
 # -- 4. parquet LOAD accepts reordered columns -----------------------------
@@ -148,3 +154,27 @@ def test_last_join_unordered_only_map_columns_falls_back(spark):
         [("c", {"m": 1})], "k string, meta map<string,int>")
     out = last_join(left, right, LastJoinSpec(left_on=["k"])).collect()
     assert len(out) == 1 and out[0].meta == {"m": 1}
+
+
+def test_last_join_unordered_case_insensitive_right_cols(spark):
+    """right_cols that resolve only case-insensitively (Spark's default
+    resolution) must not KeyError in the determinism fallback."""
+    from openmldb_spark.operators.lastjoin import last_join
+    from openmldb_spark.plans.specs import LastJoinSpec
+    left = spark.createDataFrame([("c", 1)], "k string, lid int")
+    right = spark.createDataFrame(
+        [("c", "a"), ("c", "z")], "k string, cfg string")
+    got = last_join(left, right, LastJoinSpec(left_on=["k"]),
+                    right_cols=["CFG"]).collect()
+    assert got[0]["CFG" if "CFG" in got[0].asDict() else "cfg"] == "z"
+
+
+# -- review sweep: sqlalchemy URL-key validation ---------------------------
+
+def test_sqlalchemy_url_rejects_unknown_query_keys():
+    from openmldb_spark.sqlalchemy_openmldb import connect_args_from_url
+    with pytest.raises(ValueError, match="requestTimeout"):
+        connect_args_from_url("db", {"requestTimeout": "1000"})
+    # the reference-contract keys still pass through
+    _, kwargs = connect_args_from_url("db", {"zk": "h", "port": "1"})
+    assert kwargs == {"db": "db", "zk": "h", "port": "1"}

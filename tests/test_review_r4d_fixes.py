@@ -87,6 +87,11 @@ def test_dbapi_fetchone_checks_closed(spark):
 
 
 def test_simhash_cache_bounded_to_one_table(spark):
+    """One cached signature table per session — and, critically, the
+    LIVE one stays cached. Spark's CacheManager keys entries by plan
+    equality, so the round-4 order (persist new, then unpersist prev)
+    uncached the brand-new table whenever the same input was passed
+    twice; round 5 unpersists the previous entry first."""
     from openmldb_spark.pipeline import dedup
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),
@@ -97,7 +102,10 @@ def test_simhash_cache_bounded_to_one_table(spark):
     dedup.simhash_near_pairs(df, "text", "doc_id").collect()
     second = dedup._SIMHASH_CACHE[id(spark)]
     assert second is not first
-    assert first.storageLevel.useMemory is False    # unpersisted
+    # the current entry IS cached (equal-plan repeat: the old ordering
+    # left this False, silently recomputing the UDF per join side)
+    assert second.storageLevel.useMemory is True
+    second.unpersist()                              # leave the session clean
 
 
 # ----------------------------------------------------------- lastjoin.py
