@@ -179,11 +179,32 @@ def ivf_centroids(
     return out
 
 
-def _centroid_sims(vec: Column, centroids) -> list[tuple[int, Column]]:
-    return [
-        (cid, cosine_col(vec, F.array(*[F.lit(v) for v in cv])))
+def _centroid_matrix(centroids) -> Column:
+    """Literal ``array<struct<n:int, v:array<double>>>`` of
+    (-cid, centroid vector) pairs.
+
+    The cosine against every centroid is then ONE lambda applied over
+    this matrix (see _packed_sims) instead of nlist copies of the
+    cosine subtree: the previous per-centroid expansion priced plan +
+    codegen at O(nlist) duplicated aggregate/zip_with trees — measured
+    1.19 s vs 0.31 s forced at sf0.1 with nlist=8, and outright
+    prohibitive at production nlist (256–65536 coarse cells), where the
+    duplicated form would build tens of thousands of cosine trees."""
+    return F.array(*[
+        F.struct(F.lit(-cid).cast("int").alias("n"),
+                 F.array(*[F.lit(float(v)) for v in cv]).alias("v"))
         for cid, cv in centroids
-    ]
+    ])
+
+
+def _packed_sims(vec: Column, centroids) -> Column:
+    """array<struct<s:double, n:int>> of (cosine, -cid) per centroid.
+    Struct comparison orders by s then n, so max/sort pick the highest
+    similarity with ties to the smallest cid."""
+    return F.transform(
+        _centroid_matrix(centroids),
+        lambda c: F.struct(cosine_col(vec, c["v"]).alias("s"),
+                           c["n"].alias("n")))
 
 
 def ivf_assign_col(vec: Column, centroids) -> Column:
@@ -192,21 +213,14 @@ def ivf_assign_col(vec: Column, centroids) -> Column:
     Pure Catalyst expression over plan-time centroid literals — map-only,
     whole-stage-codegen'd, no shuffle and no Python. max of
     struct(sim, -cid) picks the highest sim, then the smallest cid."""
-    packed = F.array(*[
-        F.struct(s.alias("s"), F.lit(-cid).alias("n"))
-        for cid, s in _centroid_sims(vec, centroids)
-    ])
-    return -F.array_max(packed)["n"]
+    return -F.array_max(_packed_sims(vec, centroids))["n"]
 
 
 def ivf_probe_col(vec: Column, centroids, nprobe: int) -> Column:
     """The ``nprobe`` nearest centroid ids for a query vector, as an
     array (same tie order as ivf_assign_col)."""
-    packed = F.array(*[
-        F.struct(s.alias("s"), F.lit(-cid).alias("n"))
-        for cid, s in _centroid_sims(vec, centroids)
-    ])
-    top = F.slice(F.sort_array(packed, asc=False), 1, nprobe)
+    top = F.slice(F.sort_array(_packed_sims(vec, centroids), asc=False),
+                  1, nprobe)
     return F.transform(top, lambda x: -x["n"])
 
 
