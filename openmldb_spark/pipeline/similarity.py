@@ -99,14 +99,20 @@ def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
     sign test fails, and a wrong user-supplied ``dim`` would silently
     degrade the bucketed join to a full quadratic one."""
     dim = planes.shape[1]
-    bits = [
-        F.when(_dot(vec, F.array(*[F.lit(float(v)) for v in p])) >= 0, 1
-               ).otherwise(0)
-        for p in planes
-    ]
-    acc = F.lit(0).cast("long")
-    for b in bits:
-        acc = acc * 2 + b
+    # one literal plane matrix + one lambda — NOT a per-plane expansion
+    # of the dot subtree, which prices plan+codegen at O(n_planes)
+    # duplicated aggregate/zip_with trees (same fix as _centroid_matrix;
+    # matters at the n_planes=32-64 production end of the recall dial).
+    # The left fold keeps plane 0 as the MOST significant bit, exactly
+    # like the previous unrolled accumulator (and the DuckDB oracle).
+    mat = F.array(*[
+        F.array(*[F.lit(float(v)) for v in p]) for p in planes])
+    bits = F.transform(
+        mat, lambda p: F.when(_dot(vec, p) >= 0,
+                              F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")))
+    acc = F.aggregate(bits, F.lit(0).cast("long"),
+                      lambda a, b: a * 2 + b)
     return F.when(
         F.size(vec) != dim,
         F.raise_error(F.concat(
